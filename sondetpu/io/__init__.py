@@ -1,0 +1,15 @@
+"""IO: IQ sources and telemetry sinks."""
+
+from sondetpu.io.gpx import GPXWriter
+from sondetpu.io.ptu import PTUWriter
+from sondetpu.io.jsonl import JSONLWriter
+from sondetpu.io.iq import IQFileSource, iq_from_file, write_iq
+
+__all__ = [
+    "GPXWriter",
+    "PTUWriter",
+    "JSONLWriter",
+    "IQFileSource",
+    "iq_from_file",
+    "write_iq",
+]

@@ -1,0 +1,175 @@
+"""IQ sources: file readers, format conversion, block framing.
+
+Framework entry point for sample data — the TPU-native replacement for the
+reference's dependence on the SDR++ host signal path (``sigpath``/VFO stream
+handoff, src/main.cpp:55-60). Supports the common raw-IQ interchange formats
+(cf32, cs16, cs8, cu8) and WAV, converts to complex64, and frames the stream
+into fixed-size blocks ``[block_len]`` (or ``[channels, block_len]``) for the
+jitted pipeline.
+
+When the optional C++ helper library (sondetpu/native) is built, int8/int16
+to complex64 conversion of large blocks is done natively; otherwise NumPy.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import wave
+from typing import Iterator, Optional
+
+import numpy as np
+
+_FORMATS = {
+    "cf32": (np.complex64, 8),
+    "cf64": (np.complex128, 16),
+    "cs16": (np.int16, 4),
+    "cs8": (np.int8, 2),
+    "cu8": (np.uint8, 2),
+}
+
+_native = None
+
+
+def _load_native():
+    """Load the optional C++ conversion library (sondetpu/native/libiqconv.so)."""
+    global _native
+    if _native is not None:
+        return _native
+    path = os.path.join(os.path.dirname(__file__), "..", "native", "libiqconv.so")
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        _native = False
+        return _native
+    try:
+        lib = ctypes.CDLL(path)
+        lib.iq_cs16_to_cf32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float]
+        lib.iq_cs8_to_cf32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float]
+        lib.iq_cu8_to_cf32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float]
+        _native = lib
+    except OSError:
+        _native = False
+    return _native
+
+
+def convert_to_c64(raw: np.ndarray, fmt: str) -> np.ndarray:
+    """Convert interleaved/typed raw samples to complex64 in [-1, 1]."""
+    if fmt in ("cf32", "cf64"):
+        return np.ascontiguousarray(raw.astype(np.complex64))
+    lib = _load_native()
+    n = raw.size // 2
+    if lib:
+        out = np.empty(n, dtype=np.complex64)
+        src = np.ascontiguousarray(raw)
+        fn = {"cs16": lib.iq_cs16_to_cf32, "cs8": lib.iq_cs8_to_cf32,
+              "cu8": lib.iq_cu8_to_cf32}[fmt]
+        scale = {"cs16": 1.0 / 32768.0, "cs8": 1.0 / 128.0, "cu8": 1.0 / 128.0}[fmt]
+        fn(src.ctypes.data, out.ctypes.data, n, scale)
+        return out
+    if fmt == "cs16":
+        f = raw.astype(np.float32) / 32768.0
+    elif fmt == "cs8":
+        f = raw.astype(np.float32) / 128.0
+    elif fmt == "cu8":
+        f = (raw.astype(np.float32) - 127.5) / 128.0
+    else:
+        raise ValueError(f"unknown IQ format {fmt!r}")
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+def iq_from_file(path: str, fmt: Optional[str] = None) -> np.ndarray:
+    """Read a whole IQ file into a complex64 array.
+
+    ``fmt`` is inferred from the extension when not given (.cf32/.cs16/.cs8/
+    .cu8/.wav). WAV files must be 2-channel (I, Q).
+    """
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"wav": "wav", "raw": "cf32"}.get(ext, ext)
+    if fmt == "wav":
+        return _read_wav_iq(path)
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown IQ format {fmt!r} for {path}")
+    dtype, _ = _FORMATS[fmt]
+    raw = np.fromfile(path, dtype=dtype)
+    if fmt in ("cf32", "cf64"):
+        return raw.astype(np.complex64)
+    return convert_to_c64(raw, fmt)
+
+
+def _read_wav_iq(path: str) -> np.ndarray:
+    with wave.open(path, "rb") as w:
+        nch = w.getnchannels()
+        if nch != 2:
+            raise ValueError(f"IQ wav must have 2 channels, got {nch}")
+        sw = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sw == 2:
+        data = np.frombuffer(frames, dtype=np.int16)
+        return convert_to_c64(data, "cs16")
+    if sw == 1:
+        data = np.frombuffer(frames, dtype=np.uint8)
+        return convert_to_c64(data, "cu8")
+    raise ValueError(f"unsupported wav sample width {sw}")
+
+
+def write_iq(path: str, iq: np.ndarray, fmt: str = "cf32") -> None:
+    """Write complex64 IQ to a raw file (test fixtures / synth output)."""
+    iq = np.asarray(iq, dtype=np.complex64)
+    if fmt == "cf32":
+        iq.tofile(path)
+    elif fmt == "cs16":
+        inter = np.empty(2 * iq.size, dtype=np.int16)
+        inter[0::2] = np.clip(np.round(iq.real * 32767), -32768, 32767).astype(np.int16)
+        inter[1::2] = np.clip(np.round(iq.imag * 32767), -32768, 32767).astype(np.int16)
+        inter.tofile(path)
+    elif fmt == "cs8":
+        inter = np.empty(2 * iq.size, dtype=np.int8)
+        inter[0::2] = np.clip(np.round(iq.real * 127), -128, 127).astype(np.int8)
+        inter[1::2] = np.clip(np.round(iq.imag * 127), -128, 127).astype(np.int8)
+        inter.tofile(path)
+    else:
+        raise ValueError(f"unknown IQ format {fmt!r}")
+
+
+class IQFileSource:
+    """Stream an IQ file as fixed-size complex64 blocks.
+
+    The block framer replacing the reference's ``dsp::stream`` double-buffer
+    handoff (C1 in SURVEY.md §2.2): every block has identical static shape so
+    the jitted pipeline compiles once; the final partial block is zero-padded
+    and the valid length reported alongside.
+    """
+
+    def __init__(self, path: str, block_len: int, fmt: Optional[str] = None,
+                 loop: bool = False):
+        self.block_len = int(block_len)
+        self.loop = loop
+        self._iq = iq_from_file(path, fmt)
+
+    @property
+    def total_samples(self) -> int:
+        return self._iq.size
+
+    def blocks(self) -> Iterator[tuple[np.ndarray, int]]:
+        """Yield ``(block[block_len] complex64, valid_len)`` tuples."""
+        n = self._iq.size
+        pos = 0
+        while True:
+            if pos >= n:
+                if not self.loop:
+                    return
+                pos = 0
+            end = min(pos + self.block_len, n)
+            valid = end - pos
+            if valid == self.block_len:
+                yield self._iq[pos:end], valid
+            else:
+                block = np.zeros(self.block_len, dtype=np.complex64)
+                block[:valid] = self._iq[pos:end]
+                yield block, valid
+            pos = end

@@ -1,0 +1,60 @@
+"""JSON-lines telemetry sink.
+
+Headless replacement for the reference's live GUI telemetry table
+(src/main.cpp:155-297): every merged telemetry update is emitted as one JSON
+object per line (a superset of the PTU CSV columns, ptu.cpp:11), tagged with
+the channel id and sonde type so a multi-channel fleet multiplexes into one
+stream.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import IO, Optional
+
+from sondetpu.telemetry import SondeTelemetry
+
+
+class JSONLWriter:
+    def __init__(self, target: Optional[str] = None):
+        self._fd: Optional[IO[str]] = None
+        self._owns = False
+        if target is not None:
+            self.init(target)
+
+    def init(self, target: str) -> bool:
+        if self._fd and self._owns:
+            self._fd.close()
+        if target == "-":
+            self._fd = sys.stdout
+            self._owns = False
+            return True
+        try:
+            self._fd = open(target, "w")
+        except OSError:
+            self._fd = None
+            return False
+        self._owns = True
+        return True
+
+    def deinit(self) -> None:
+        if self._fd and self._owns:
+            self._fd.close()
+        self._fd = None
+
+    close = deinit
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.deinit()
+
+    def add_point(self, data: SondeTelemetry, channel: int = 0, sonde_type: str = "") -> None:
+        if not self._fd:
+            return
+        rec = {"channel": channel, "type": sonde_type}
+        rec.update(data.to_dict())
+        self._fd.write(json.dumps(rec) + "\n")
+        self._fd.flush()

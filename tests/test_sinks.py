@@ -1,0 +1,125 @@
+"""Tests for GPX/PTU/JSONL sinks (reference gpx.cpp / ptu.cpp semantics)."""
+
+import json
+import xml.etree.ElementTree as ET
+
+from sondetpu.io import GPXWriter, JSONLWriter, PTUWriter
+from sondetpu.telemetry import Fields, SondeTelemetry, TelemetryFragment
+
+
+def _parse(path):
+    return ET.parse(path).getroot()
+
+
+NS = "{http://www.topografix.com/GPX/1/1}"
+
+
+def test_gpx_always_valid_xml(tmp_path):
+    p = tmp_path / "t.gpx"
+    w = GPXWriter(str(p))
+    _parse(p)  # valid right after init
+    w.start_track("SONDE1")
+    _parse(p)  # valid mid-track
+    w.add_track_point(1700000000, 45.0, 9.0, 1000.0, 10.0, 90.0)
+    root = _parse(p)
+    trk = root.find(f"{NS}trk")
+    assert trk is not None
+    assert trk.find(f"{NS}name").text == "SONDE1"
+    pts = trk.find(f"{NS}trkseg").findall(f"{NS}trkpt")
+    assert len(pts) == 1
+    assert pts[0].get("lat").startswith("45.0")
+    # even without deinit the file is terminated; deinit keeps it valid
+    w.deinit()
+    _parse(p)
+
+
+def test_gpx_point_dedup_rules(tmp_path):
+    p = tmp_path / "t.gpx"
+    w = GPXWriter(str(p))
+    w.start_track("S")
+    w.add_track_point(100, 1.0, 2.0, 3.0, 0, 0)
+    w.add_track_point(100, 5.0, 6.0, 7.0, 0, 0)      # same time -> dropped
+    w.add_track_point(101, 1.0, 2.0, 3.0, 0, 0)      # same pos  -> dropped
+    w.add_track_point(102, 0.0, 0.0, 0.0, 0, 0)      # all-zero  -> dropped
+    w.add_track_point(103, float("nan"), 2.0, 3.0, 0, 0)  # NaN -> dropped
+    w.add_track_point(104, 1.1, 2.0, 3.0, 0, 0)      # kept
+    w.deinit()
+    pts = _parse(p).find(f"{NS}trk").find(f"{NS}trkseg").findall(f"{NS}trkpt")
+    assert len(pts) == 2
+
+
+def test_gpx_track_per_serial(tmp_path):
+    p = tmp_path / "t.gpx"
+    w = GPXWriter(str(p))
+    w.start_track("A1")
+    w.add_track_point(1, 1.0, 1.0, 1.0, 0, 0)
+    w.start_track("A1")  # same serial: no-op
+    w.add_track_point(2, 1.5, 1.0, 1.0, 0, 0)
+    w.start_track("B2")  # new serial: closes A1, opens B2
+    w.add_track_point(3, 2.0, 2.0, 2.0, 0, 0)
+    w.deinit()
+    trks = _parse(p).findall(f"{NS}trk")
+    assert [t.find(f"{NS}name").text for t in trks] == ["A1", "B2"]
+    assert len(trks[0].find(f"{NS}trkseg").findall(f"{NS}trkpt")) == 2
+    assert len(trks[1].find(f"{NS}trkseg").findall(f"{NS}trkpt")) == 1
+
+
+def test_gpx_rejects_nongraphic_serial(tmp_path):
+    p = tmp_path / "t.gpx"
+    w = GPXWriter(str(p))
+    w.start_track("BAD NAME")   # contains a space -> rejected (gpx.cpp:43)
+    w.add_track_point(1, 1.0, 1.0, 1.0, 0, 0)  # no active track -> dropped
+    w.deinit()
+    assert _parse(p).find(f"{NS}trk") is None
+
+
+def test_ptu_csv_schema(tmp_path):
+    p = tmp_path / "t.csv"
+    w = PTUWriter(str(p))
+    t = SondeTelemetry()
+    t.merge(TelemetryFragment(
+        fields=Fields.POS | Fields.PTU | Fields.TIME | Fields.OZONE,
+        lat=45.123456, lon=9.5, alt=1000.0, temp=-5.3, rh=42.0,
+        pressure=800.0, time=1700000000.0, o3_mpa=1.5))
+    w.add_point(t)
+    w.deinit()
+    lines = p.read_text().splitlines()
+    assert lines[0] == ("Epoch,Temperature,Relative humidity,Dew point,Pressure,"
+                        "Latitude,Longitude,Altitude,Speed,Heading,Climb,XDATA")
+    cols = lines[1].split(",")
+    assert cols[0] == "1700000000"
+    assert cols[1] == "-5.3"
+    assert cols[5] == "45.123456"
+    assert cols[11] == "O3=1.50mPa"
+
+
+def test_jsonl_sink(tmp_path):
+    p = tmp_path / "t.jsonl"
+    w = JSONLWriter(str(p))
+    t = SondeTelemetry()
+    t.merge(TelemetryFragment(fields=Fields.SERIAL, serial="Z9"))
+    w.add_point(t, channel=17, sonde_type="rs41")
+    w.deinit()
+    rec = json.loads(p.read_text().splitlines()[0])
+    assert rec["channel"] == 17 and rec["type"] == "rs41" and rec["serial"] == "Z9"
+
+
+def test_iq_roundtrip(tmp_path):
+    import numpy as np
+    from sondetpu.io import iq_from_file, write_iq
+    from sondetpu.io.iq import IQFileSource
+
+    rng = np.random.default_rng(0)
+    iq = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64) * 0.1
+    for fmt, tol in [("cf32", 0), ("cs16", 1e-4), ("cs8", 1e-2)]:
+        f = tmp_path / f"x.{fmt}"
+        write_iq(str(f), iq, fmt)
+        back = iq_from_file(str(f))
+        assert back.dtype == np.complex64
+        np.testing.assert_allclose(back, iq, atol=tol + 1e-7)
+    src = IQFileSource(str(tmp_path / "x.cf32"), block_len=256)
+    blocks = list(src.blocks())
+    assert len(blocks) == 4
+    assert blocks[-1][1] == 1000 - 3 * 256
+    total = np.concatenate([b for b, _ in blocks])[:1000]
+    np.testing.assert_allclose(total, iq, atol=1e-7)
