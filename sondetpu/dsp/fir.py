@@ -1,0 +1,128 @@
+"""FIR filter design and batched streaming (overlap-save) application.
+
+Replaces the reference's reliance on SDR++ core filtering (the polyphase
+resampler's embedded FIR, main.hpp:7, and sondedump's matched filters,
+SURVEY.md S0). Filters are designed host-side in NumPy (windowed-sinc /
+Gaussian) and baked as constants into the jitted pipeline; streaming
+application keeps a per-channel tail of ``ntaps-1`` samples so chunked
+filtering is exactly equal to filtering the unchunked stream.
+
+The convolution itself is expressed as a [block, ntaps] gather-free sliding
+window contraction that XLA lowers to MXU-friendly ops; the Pallas fused
+variant lives in sondetpu.pallas.fir_kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Filter design (host-side, NumPy)
+# ---------------------------------------------------------------------------
+
+def _blackman_harris(n: int) -> np.ndarray:
+    k = np.arange(n)
+    a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
+    return (a0 - a1 * np.cos(2 * np.pi * k / (n - 1))
+            + a2 * np.cos(4 * np.pi * k / (n - 1))
+            - a3 * np.cos(6 * np.pi * k / (n - 1)))
+
+
+def design_lowpass(cutoff_hz: float, fs: float, ntaps: int) -> np.ndarray:
+    """Windowed-sinc lowpass, Blackman-Harris window, unity DC gain."""
+    if ntaps % 2 == 0:
+        ntaps += 1
+    n = np.arange(ntaps) - (ntaps - 1) / 2
+    fc = cutoff_hz / fs
+    h = np.sinc(2 * fc * n) * 2 * fc
+    h *= _blackman_harris(ntaps)
+    h /= h.sum()
+    return h.astype(np.float32)
+
+
+def gaussian_taps(bt: float, sps: float, span: int = 4) -> np.ndarray:
+    """Gaussian pulse-shaping filter for GFSK (BT product ``bt``).
+
+    Used by the modulators (test-fixture synthesis, SURVEY.md §4 item 1) and
+    as an approximate matched filter.
+    """
+    ntaps = int(span * sps) | 1
+    t = (np.arange(ntaps) - (ntaps - 1) / 2) / sps
+    sigma = np.sqrt(np.log(2)) / (2 * np.pi * bt)
+    h = np.exp(-(t ** 2) / (2 * sigma ** 2))
+    h /= h.sum()
+    return h.astype(np.float32)
+
+
+def boxcar_taps(sps: int) -> np.ndarray:
+    """Integrate-and-dump matched filter for rectangular NRZ pulses."""
+    return (np.ones(sps) / sps).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Batched streaming FIR (overlap-save)
+# ---------------------------------------------------------------------------
+
+class FIRState(NamedTuple):
+    """Per-channel carry-over: the last ``ntaps-1`` input samples."""
+
+    tail: jax.Array  # [channels, ntaps-1]
+
+
+def fir_init(channels: int, ntaps: int, dtype=jnp.float32) -> FIRState:
+    return FIRState(tail=jnp.zeros((channels, ntaps - 1), dtype=dtype))
+
+
+def _sliding_windows(x: jax.Array, ntaps: int) -> jax.Array:
+    """[batch, n + ntaps - 1] -> [batch, n, ntaps] sliding windows.
+
+    Built from ``ntaps`` shifted slices; XLA fuses these into a single
+    strided read, and the subsequent contraction maps onto the MXU.
+    """
+    n = x.shape[-1] - ntaps + 1
+    cols = [jax.lax.dynamic_slice_in_dim(x, k, n, axis=-1) for k in range(ntaps)]
+    return jnp.stack(cols, axis=-1)
+
+
+def fir_filter(x: jax.Array, taps: jax.Array) -> jax.Array:
+    """Causal batched FIR: y[n] = sum_k h[k] * x[n - k], zero initial state.
+
+    x: [channels, n]; returns [channels, n].
+    """
+    taps = jnp.asarray(taps)
+    ntaps = taps.shape[0]
+    xp = jnp.pad(x, ((0, 0), (ntaps - 1, 0)))
+    return _apply_windows(xp, taps)
+
+
+def _apply_windows(xp: jax.Array, taps: jax.Array) -> jax.Array:
+    ntaps = taps.shape[0]
+    # y[n] = sum_k h[k] x[n-k]  ==  windows[n, j] * h_rev[j]
+    h_rev = taps[::-1]
+    if jnp.iscomplexobj(xp):
+        wr = _sliding_windows(xp.real, ntaps)
+        wi = _sliding_windows(xp.imag, ntaps)
+        return (wr @ h_rev) + 1j * (wi @ h_rev)
+    w = _sliding_windows(xp, ntaps)
+    return w @ h_rev
+
+
+@partial(jax.jit, static_argnames=())
+def fir_apply(state: FIRState, x: jax.Array, taps: jax.Array):
+    """Streaming FIR step: filter block ``x`` [channels, n] with carry.
+
+    Exactly equivalent to filtering the concatenated stream (overlap-save):
+    chunked(fir_apply) == fir_filter(full stream). Returns (new_state, y).
+    """
+    taps = jnp.asarray(taps)
+    xp = jnp.concatenate([state.tail.astype(x.dtype), x], axis=-1)
+    y = _apply_windows(xp, taps)
+    ntaps = taps.shape[0]
+    new_tail = xp[:, -(ntaps - 1):] if ntaps > 1 else state.tail
+    return FIRState(tail=new_tail), y

@@ -1,0 +1,89 @@
+"""Frame synchronization: syncword correlation, peak picking, frame gather.
+
+Batched re-design of sondedump's frame-sync correlator (SURVEY.md S0,
+BASELINE.json:5 "frame-sync correlator"). Soft symbols are correlated
+against the +/-1 syncword template with a batched convolution (MXU-friendly);
+peaks are selected with an iterative argmax + neighborhood-suppression loop
+of static depth; frames are gathered at the peak offsets into fixed-capacity
+slots with a validity mask (SURVEY.md §7 "ragged outputs" strategy), keeping
+every shape static for XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sondetpu.sync.coding import np_bytes_to_bits
+
+
+def syncword_to_chips(syncword: bytes, lsb_first: bool = False) -> np.ndarray:
+    """Convert a syncword byte string to a +/-1 float32 chip template."""
+    bits = np_bytes_to_bits(np.frombuffer(syncword, dtype=np.uint8), lsb_first)
+    return (bits.astype(np.float32) * 2.0 - 1.0)
+
+
+def correlate_syncword(soft: jax.Array, template: jax.Array) -> jax.Array:
+    """Correlate soft symbols [channels, n] against template [L].
+
+    Returns corr [channels, n - L + 1]; corr[c, i] = sum_k soft[c, i+k]*t[k],
+    normalized so a perfect hard match scores 1.0.
+    """
+    template = jnp.asarray(template, jnp.float32)
+    L = template.shape[0]
+    x = soft[:, None, :]                                   # [C, 1, n]
+    k = template[None, None, :]                            # [1, 1, L]
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return out[:, 0, :] / L
+
+
+def find_frame_starts(corr: jax.Array, threshold: float, max_peaks: int,
+                      min_distance: int):
+    """Pick up to ``max_peaks`` correlation peaks per channel.
+
+    Iterative argmax with +/-``min_distance`` suppression (static unroll so
+    the whole search stays inside jit). Returns (starts [C, K] int32 sorted
+    ascending, ok [C, K] bool).
+    """
+    c, n = corr.shape
+    idxs = []
+    oks = []
+    work = corr
+    pos = jnp.arange(n)
+    for _ in range(max_peaks):
+        i = jnp.argmax(work, axis=-1)                      # [C]
+        v = jnp.take_along_axis(work, i[:, None], axis=-1)[:, 0]
+        idxs.append(i)
+        oks.append(v >= threshold)
+        # suppress the neighborhood of the found peak
+        sup = jnp.abs(pos[None, :] - i[:, None]) <= min_distance
+        work = jnp.where(sup, -jnp.inf, work)
+    starts = jnp.stack(idxs, axis=-1).astype(jnp.int32)    # [C, K]
+    ok = jnp.stack(oks, axis=-1)
+    # sort by position for deterministic downstream handling
+    order = jnp.argsort(jnp.where(ok, starts, n + 1), axis=-1)
+    return jnp.take_along_axis(starts, order, axis=-1), jnp.take_along_axis(ok, order, axis=-1)
+
+
+def gather_frames(stream: jax.Array, starts: jax.Array, ok: jax.Array,
+                  frame_len: int):
+    """Gather fixed-length frames at per-channel offsets.
+
+    stream: [C, n] (bits or soft symbols); starts/ok: [C, K].
+    Returns (frames [C, K, frame_len], valid [C, K]) where valid requires the
+    whole frame to fit inside the stream.
+    """
+    c, n = stream.shape
+    fits = starts + frame_len <= n
+    valid = ok & fits
+    safe = jnp.clip(starts, 0, max(n - frame_len, 0))
+    pos = safe[:, :, None] + jnp.arange(frame_len)[None, None, :]   # [C, K, F]
+    frames = jnp.take_along_axis(stream[:, None, :],
+                                 jnp.broadcast_to(pos, (c,) + pos.shape[1:]),
+                                 axis=-1)
+    return frames, valid
