@@ -96,7 +96,10 @@ def symbol_sample(state: TimingState, x: jax.Array, sps: float,
 
     k = jnp.arange(n_sym, dtype=jnp.float32)
     pos = start[:, None] + k[None, :] * sps          # [channels, n_sym]
-    valid = pos <= (n - 1)
+    # A symbol anywhere inside [0, n) belongs to this block; one landing in
+    # the final fractional interval (n-1, n) extrapolates from the last two
+    # samples (interp clamps) — dropping it would slip the symbol clock.
+    valid = pos < n
     soft = _linear_interp(x, pos)
     soft = jnp.where(valid, soft, 0.0)
 
