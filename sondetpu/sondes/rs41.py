@@ -1,0 +1,418 @@
+"""Vaisala RS41-SG protocol: frame codec, parser, calibration, modulator.
+
+Re-creates sondedump's RS41 decoder capability (SURVEY.md S1; reference API
+consumed at decoder.hpp:13,22; 4800 Bd GFSK + RS(255,231) per
+BASELINE.json:7; channel bandwidth 10 kHz per main.hpp:45).
+
+Physical layer (publicly documented; re-verify against recorded IQ per
+SURVEY.md §7 "protocol ground truth"):
+- 4800 Bd GFSK, bits LSB-first within bytes, frames transmitted
+  back-to-back; 320-byte standard frame.
+- Whole frame whitened by XOR with a repeating 64-byte PRN mask; the
+  scrambled-domain frame starts with the well-known 64-bit syncword
+  0x10 B6 CA 11 22 96 12 F8.
+- Bytes 8..55 carry two interleaved Reed-Solomon RS(255,231) codewords
+  (field poly 0x11D, fcr 0): codeword i protects frame[0x38 + 2k + i].
+
+Frame layout (offsets marked [inferred] follow public decoder conventions
+where documented and this framework's own definition elsewhere; the
+modulator and parser are exactly consistent, which is what the golden-IQ
+acceptance tests verify):
+  0x000  8B  syncword (scrambled domain)
+  0x008 48B  RS parity (2 x 24)
+  0x038  1B  frame type (0x0F = standard)
+  0x039  blocks, each [type u8][len u8][data][crc16-CCITT over data, LE]:
+    0x79 STATUS len 0x28: frame_no u16le@0, serial char[8]@2, battery
+         decivolts u8@10, flags u8@11, burstkill seconds u16le@18
+         (0xFFFF = inactive) [inferred], calib page u8@23, calib
+         fragment 16B@24
+    0x7A MEAS   len 0x2A: 8 x u24le ADC: temp_main, temp_ref1, temp_ref2,
+         hum_main, hum_ref1, hum_ref2, tsens_hum, spare
+    0x7C GPSINFO len 0x1E: week u16le@0, itow_ms u32le@2, 12 x (sv,cno)
+    0x7D GPSRAW len 0x59: opaque raw measurements
+    0x7B GPSPOS len 0x15: ecef x,y,z i32le cm, vx,vy,vz i16le cm/s,
+         numSV u8, sAcc u8, pDOP u8
+    0x7E XDATA  len 0x11: ASCII auxiliary data (ozone: "xx.xx mPa")
+Calibration blob: 51 pages x 16 bytes accumulated from STATUS fragments
+(reference semantics decoder.hpp:85-86: calib_percent = pages/51*100);
+temperature polynomial t0,t1,t2 f32le at blob[0x20:0x2C] (page 2), humidity
+h0,h1,h2 at blob[0x30:0x3C] (page 3); physical value = p0 + p1*r + p2*r^2
+with r = (main - ref1) / (ref2 - ref1).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sondetpu.fec.crc import crc16_ccitt, crc16_ccitt_batch
+from sondetpu.fec.rs import ReedSolomon
+from sondetpu.sondes import geo
+from sondetpu.sondes.base import ProtocolSpec, SondeDecoderBase, register_sonde
+from sondetpu.sondes.modulate import gfsk_modulate
+from sondetpu.sync.coding import np_bits_to_bytes, np_bytes_to_bits
+from sondetpu.telemetry import Fields, TelemetryFragment
+
+# ---------------------------------------------------------------------------
+# Constants
+# ---------------------------------------------------------------------------
+
+BAUD = 4800.0
+FRAME_BYTES = 320
+DATA_START = 0x38
+SYNCWORD = bytes([0x10, 0xB6, 0xCA, 0x11, 0x22, 0x96, 0x12, 0xF8])
+
+# 64-byte whitening PRN (public RS41 constant)
+WHITENING_MASK = np.array([
+    0x96, 0x83, 0x3E, 0x51, 0xB1, 0x49, 0x08, 0x98,
+    0x32, 0x05, 0x59, 0x0E, 0xF9, 0x44, 0xC6, 0x26,
+    0x21, 0x60, 0xC2, 0xEA, 0x79, 0x5D, 0x6D, 0xA1,
+    0x54, 0x69, 0x47, 0x0C, 0xDC, 0xE8, 0x5C, 0xF1,
+    0xF7, 0x76, 0x82, 0x7F, 0x07, 0x99, 0xA2, 0x2C,
+    0x93, 0x7C, 0x30, 0x63, 0xF5, 0x10, 0x2E, 0x61,
+    0xD0, 0xBC, 0xB4, 0xB6, 0x06, 0xAA, 0xF4, 0x23,
+    0x78, 0x6E, 0x3B, 0xAE, 0xBF, 0x7B, 0x4C, 0xC1,
+], dtype=np.uint8)
+
+RS_CODEC = ReedSolomon(nroots=24, fcr=0, prim_poly=0x11D)
+N_RS_DATA = (FRAME_BYTES - DATA_START) // 2       # 132 symbols per codeword
+
+CALIB_PAGES = 51
+CALIB_BYTES = CALIB_PAGES * 16
+_CAL_TEMP_OFF = 0x20       # 3 x f32le
+_CAL_HUM_OFF = 0x30        # 3 x f32le
+_CAL_TEMP_PAGE = _CAL_TEMP_OFF // 16
+_CAL_HUM_PAGE = _CAL_HUM_OFF // 16
+
+BLK_STATUS, BLK_MEAS, BLK_GPSINFO, BLK_GPSRAW, BLK_GPSPOS, BLK_XDATA, BLK_PAD = (
+    0x79, 0x7A, 0x7C, 0x7D, 0x7B, 0x7E, 0x76)
+_BLOCK_PLAN = [  # (type, data_len) in transmit order; offsets derived
+    (BLK_STATUS, 0x28), (BLK_MEAS, 0x2A), (BLK_GPSINFO, 0x1E),
+    (BLK_GPSRAW, 0x59), (BLK_GPSPOS, 0x15), (BLK_XDATA, 0x11),
+]
+
+SPEC = ProtocolSpec(
+    name="rs41",
+    display_name="RS41",
+    bandwidth=1e4,            # main.hpp:45
+    baud=BAUD,
+    modulation="gfsk",
+    syncword=SYNCWORD,
+    lsb_first=True,
+    frame_bytes=FRAME_BYTES,
+    line_code="nrz",
+    deviation=2400.0,
+)
+
+
+def _block_offsets():
+    offs = []
+    pos = DATA_START + 1
+    for typ, dlen in _BLOCK_PLAN:
+        offs.append((typ, pos, dlen))
+        pos += 2 + dlen + 2
+    assert pos == FRAME_BYTES, pos
+    return offs
+
+
+_BLOCK_OFFSETS = _block_offsets()
+
+
+# ---------------------------------------------------------------------------
+# Frame codec (shared by parser and modulator)
+# ---------------------------------------------------------------------------
+
+def scramble(frame: np.ndarray) -> np.ndarray:
+    """XOR with the repeating whitening mask (involution)."""
+    frame = np.asarray(frame, dtype=np.uint8)
+    reps = -(-frame.shape[-1] // 64)
+    mask = np.tile(WHITENING_MASK, reps)[: frame.shape[-1]]
+    return frame ^ mask
+
+
+def rs_encode_frame(frame: np.ndarray) -> np.ndarray:
+    """Fill bytes 8..55 with the two interleaved RS(255,231) parities."""
+    frame = frame.copy()
+    for i in range(2):
+        data = frame[DATA_START + i::2][:N_RS_DATA]
+        cw = RS_CODEC.encode(data[None, :].astype(np.int32))[0]
+        frame[8 + 24 * i: 8 + 24 * (i + 1)] = cw[N_RS_DATA:]
+    return frame
+
+
+def rs_decode_frames(frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Correct a batch of descrambled frames [n, 320].
+
+    Returns (corrected, total_errors [n], ok [n])."""
+    frames = np.asarray(frames, dtype=np.uint8).copy()
+    n = frames.shape[0]
+    oks = np.ones(n, dtype=bool)
+    errs = np.zeros(n, dtype=np.int64)
+    for i in range(2):
+        data = frames[:, DATA_START + i::2][:, :N_RS_DATA]
+        parity = frames[:, 8 + 24 * i: 8 + 24 * (i + 1)]
+        recv = np.concatenate([data, parity], axis=1)
+        corr, nerr, ok = RS_CODEC.decode(recv)
+        frames[:, DATA_START + i::2] = corr[:, :N_RS_DATA]
+        frames[:, 8 + 24 * i: 8 + 24 * (i + 1)] = corr[:, N_RS_DATA:]
+        oks &= ok
+        errs += nerr
+    return frames, errs, oks
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _ChannelCal:
+    pages: np.ndarray = field(default_factory=lambda: np.zeros(CALIB_PAGES, dtype=bool))
+    blob: np.ndarray = field(default_factory=lambda: np.zeros(CALIB_BYTES, dtype=np.uint8))
+
+    @property
+    def percent(self) -> float:
+        return 100.0 * float(self.pages.sum()) / CALIB_PAGES
+
+    def coeffs(self, off: int) -> Optional[np.ndarray]:
+        page = off // 16
+        if not self.pages[page]:
+            return None
+        return np.frombuffer(self.blob[off:off + 12].tobytes(), dtype="<f4")
+
+
+class RS41Decoder(SondeDecoderBase):
+    """Host-side RS41 frame decoder with per-channel calibration state."""
+
+    spec = SPEC
+
+    def __init__(self):
+        self._cal: Dict[int, _ChannelCal] = {}
+
+    def reset_channel(self, channel: int) -> None:
+        self._cal.pop(channel, None)
+
+    def decode_chip_frames(self, chips, channels):
+        if len(chips) == 0:
+            return []
+        raw = np_bits_to_bytes(np.asarray(chips, dtype=np.uint8), lsb_first=True)
+        return self.decode_byte_frames(scramble(raw), channels)
+
+    def decode_byte_frames(self, frames: np.ndarray, channels) -> List[Tuple[int, TelemetryFragment]]:
+        """frames: [n, 320] descrambled bytes; returns (channel, fragment)."""
+        frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
+        corrected, _, rs_ok = rs_decode_frames(frames)
+        out: List[Tuple[int, TelemetryFragment]] = []
+        for fi in range(corrected.shape[0]):
+            if not rs_ok[fi]:
+                continue
+            ch = int(np.asarray(channels)[fi])
+            frag = self._parse_frame(corrected[fi], ch)
+            if frag is not None:
+                out.append((ch, frag))
+        return out
+
+    def _parse_frame(self, frame: np.ndarray, ch: int) -> Optional[TelemetryFragment]:
+        frag = TelemetryFragment()
+        cal = self._cal.setdefault(ch, _ChannelCal())
+        got_any = False
+        meas = None
+        for typ, pos, dlen in _BLOCK_OFFSETS:
+            if frame[pos] != typ or frame[pos + 1] != dlen:
+                continue
+            data = frame[pos + 2: pos + 2 + dlen]
+            crc = struct.unpack("<H", frame[pos + 2 + dlen: pos + 4 + dlen].tobytes())[0]
+            if crc != crc16_ccitt(data.tobytes()):
+                continue
+            got_any = True
+            if typ == BLK_STATUS:
+                self._parse_status(data, frag, cal)
+            elif typ == BLK_MEAS:
+                meas = data
+            elif typ == BLK_GPSINFO:
+                self._parse_gpsinfo(data, frag)
+            elif typ == BLK_GPSPOS:
+                self._parse_gpspos(data, frag)
+            elif typ == BLK_XDATA:
+                self._parse_xdata(data, frag)
+        if meas is not None:
+            self._parse_meas(meas, frag, cal)
+        return frag if got_any else None
+
+    def _parse_status(self, d: np.ndarray, frag: TelemetryFragment, cal: _ChannelCal):
+        frag.seq = struct.unpack("<H", d[0:2].tobytes())[0]
+        frag.fields |= Fields.SEQ
+        serial = d[2:10].tobytes().decode("ascii", errors="replace").strip("\x00 ")
+        if serial:
+            frag.serial = serial
+            frag.fields |= Fields.SERIAL
+        bk = struct.unpack("<H", d[18:20].tobytes())[0]
+        frag.shutdown = -1 if bk == 0xFFFF else int(bk)
+        frag.fields |= Fields.SHUTDOWN
+        page = int(d[23])
+        if page < CALIB_PAGES:
+            cal.blob[page * 16:(page + 1) * 16] = d[24:40]
+            cal.pages[page] = True
+
+    def _parse_meas(self, d: np.ndarray, frag: TelemetryFragment, cal: _ChannelCal):
+        c = [int.from_bytes(d[3 * i: 3 * i + 3].tobytes(), "little") for i in range(8)]
+
+        def poly_val(coeffs, main, ref1, ref2):
+            if ref2 == ref1:
+                return float("nan")
+            r = (main - ref1) / (ref2 - ref1)
+            return float(coeffs[0] + coeffs[1] * r + coeffs[2] * r * r)
+
+        tco = cal.coeffs(_CAL_TEMP_OFF)
+        hco = cal.coeffs(_CAL_HUM_OFF)
+        frag.temp = poly_val(tco, c[0], c[1], c[2]) if tco is not None else float("nan")
+        frag.rh = poly_val(hco, c[3], c[4], c[5]) if hco is not None else float("nan")
+        frag.pressure = 0.0      # RS41-SG has no pressure sensor -> ISA fallback
+        frag.calib_percent = cal.percent
+        frag.fields |= Fields.PTU
+
+    def _parse_gpsinfo(self, d: np.ndarray, frag: TelemetryFragment):
+        week = struct.unpack("<H", d[0:2].tobytes())[0]
+        itow_ms = struct.unpack("<I", d[2:6].tobytes())[0]
+        frag.time = float(geo.gps_time_to_utc(week, itow_ms / 1000.0))
+        frag.fields |= Fields.TIME
+
+    def _parse_gpspos(self, d: np.ndarray, frag: TelemetryFragment):
+        x, y, z = struct.unpack("<iii", d[0:12].tobytes())
+        vx, vy, vz = struct.unpack("<hhh", d[12:18].tobytes())
+        numsv = int(d[18])
+        if numsv < 4 or (x == 0 and y == 0 and z == 0):
+            return
+        lat, lon, alt = geo.ecef_to_geodetic(x / 100.0, y / 100.0, z / 100.0)
+        ve, vn, vu = geo.ecef_velocity_to_enu(vx / 100.0, vy / 100.0, vz / 100.0, lat, lon)
+        spd, hdg, climb = geo.speed_heading_climb(ve, vn, vu)
+        frag.lat, frag.lon, frag.alt = float(lat), float(lon), float(alt)
+        frag.speed, frag.heading, frag.climb = float(spd), float(hdg), float(climb)
+        frag.fields |= Fields.POS | Fields.SPEED
+
+    def _parse_xdata(self, d: np.ndarray, frag: TelemetryFragment):
+        txt = d.tobytes().rstrip(b"\x00").decode("ascii", errors="replace")
+        if txt.endswith(" mPa"):
+            try:
+                frag.o3_mpa = float(txt[:-4])
+                frag.fields |= Fields.OZONE
+            except ValueError:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# Modulator (golden-IQ synthesis)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RS41Truth:
+    """Known telemetry for fixture generation."""
+
+    serial: str = "S1234567"
+    frame_no: int = 100
+    lat: float = 45.0
+    lon: float = 9.0
+    alt: float = 12000.0
+    ve: float = 5.0       # east, m/s
+    vn: float = 8.0       # north
+    vu: float = 4.5       # climb
+    temp: float = -42.5
+    rh: float = 35.0
+    time_utc: float = 1.7e9
+    burstkill: int = -1
+    o3_mpa: Optional[float] = None
+    battery_v: float = 2.9
+
+
+class RS41Modulator:
+    spec = SPEC
+
+    def __init__(self, calib_seed: int = 1234):
+        rng = np.random.default_rng(calib_seed)
+        blob = rng.integers(0, 256, size=CALIB_BYTES, dtype=np.uint8)
+        # temperature poly: T = t0 + t1 * r, r in [0,1] mapping -100..+50 C
+        blob[_CAL_TEMP_OFF:_CAL_TEMP_OFF + 12] = np.frombuffer(
+            np.array([-100.0, 150.0, 0.0], dtype="<f4").tobytes(), dtype=np.uint8)
+        blob[_CAL_HUM_OFF:_CAL_HUM_OFF + 12] = np.frombuffer(
+            np.array([0.0, 100.0, 0.0], dtype="<f4").tobytes(), dtype=np.uint8)
+        self.calib_blob = blob
+
+    # -- frame building ----------------------------------------------------
+
+    def build_frame(self, truth: RS41Truth) -> np.ndarray:
+        """Build one descrambled 320-byte frame (syncword + parity included)."""
+        f = np.zeros(FRAME_BYTES, dtype=np.uint8)
+        f[0:8] = scramble(np.frombuffer(SYNCWORD, dtype=np.uint8))  # descrambled-domain header
+        f[DATA_START] = 0x0F
+        for typ, pos, dlen in _BLOCK_OFFSETS:
+            data = self._block_data(typ, dlen, truth)
+            f[pos] = typ
+            f[pos + 1] = dlen
+            f[pos + 2: pos + 2 + dlen] = data
+            f[pos + 2 + dlen: pos + 4 + dlen] = np.frombuffer(
+                struct.pack("<H", crc16_ccitt(data.tobytes())), dtype=np.uint8)
+        return rs_encode_frame(f)
+
+    def _block_data(self, typ: int, dlen: int, truth: RS41Truth) -> np.ndarray:
+        d = np.zeros(dlen, dtype=np.uint8)
+        if typ == BLK_STATUS:
+            d[0:2] = np.frombuffer(struct.pack("<H", truth.frame_no & 0xFFFF), np.uint8)
+            d[2:10] = np.frombuffer(truth.serial.encode("ascii")[:8].ljust(8), np.uint8)
+            d[10] = int(truth.battery_v * 10)
+            bk = 0xFFFF if truth.burstkill < 0 else truth.burstkill
+            d[18:20] = np.frombuffer(struct.pack("<H", bk), np.uint8)
+            page = truth.frame_no % CALIB_PAGES
+            d[23] = page
+            d[24:40] = self.calib_blob[page * 16:(page + 1) * 16]
+        elif typ == BLK_MEAS:
+            tco = np.frombuffer(self.calib_blob[_CAL_TEMP_OFF:_CAL_TEMP_OFF + 12], "<f4")
+            hco = np.frombuffer(self.calib_blob[_CAL_HUM_OFF:_CAL_HUM_OFF + 12], "<f4")
+            ref1, ref2 = 131072, 393216
+            r_t = (truth.temp - tco[0]) / tco[1]
+            r_h = (truth.rh - hco[0]) / hco[1]
+            counts = [int(ref1 + r_t * (ref2 - ref1)), ref1, ref2,
+                      int(ref1 + r_h * (ref2 - ref1)), ref1, ref2,
+                      200000, 0]
+            for i, cval in enumerate(counts):
+                d[3 * i: 3 * i + 3] = np.frombuffer(
+                    int(cval).to_bytes(3, "little"), np.uint8)
+        elif typ == BLK_GPSINFO:
+            week, tow = geo.utc_to_gps_time(truth.time_utc)
+            d[0:2] = np.frombuffer(struct.pack("<H", int(week)), np.uint8)
+            d[2:6] = np.frombuffer(struct.pack("<I", int(round(tow * 1000))), np.uint8)
+            for i in range(12):
+                d[6 + 2 * i] = i + 1
+                d[7 + 2 * i] = 45
+        elif typ == BLK_GPSPOS:
+            x, y, z = geo.geodetic_to_ecef(truth.lat, truth.lon, truth.alt)
+            vx, vy, vz = geo.enu_to_ecef_velocity(
+                truth.ve, truth.vn, truth.vu, truth.lat, truth.lon)
+            d[0:12] = np.frombuffer(struct.pack(
+                "<iii", int(round(x * 100)), int(round(y * 100)), int(round(z * 100))), np.uint8)
+            d[12:18] = np.frombuffer(struct.pack(
+                "<hhh", int(round(vx * 100)), int(round(vy * 100)), int(round(vz * 100))), np.uint8)
+            d[18], d[19], d[20] = 9, 10, 15
+        elif typ == BLK_XDATA:
+            if truth.o3_mpa is not None:
+                txt = f"{truth.o3_mpa:.2f} mPa".encode("ascii")[:dlen]
+                d[:len(txt)] = np.frombuffer(txt, np.uint8)
+        return d
+
+    # -- waveform ----------------------------------------------------------
+
+    def frames_to_bits(self, frames: np.ndarray) -> np.ndarray:
+        """Descrambled frames [n, 320] -> on-air bit stream (LSB-first)."""
+        on_air = scramble(np.atleast_2d(frames))
+        return np_bytes_to_bits(on_air, lsb_first=True).reshape(-1)
+
+    def modulate(self, truths: List[RS41Truth], fs: float = 48000.0,
+                 bt: float = 0.5) -> np.ndarray:
+        """Synthesize back-to-back frames as complex IQ at rate fs."""
+        frames = np.stack([self.build_frame(t) for t in truths])
+        bits = self.frames_to_bits(frames)
+        return gfsk_modulate(bits, fs / BAUD, SPEC.dev / fs, bt=bt)
+
+
+register_sonde("rs41", SPEC, RS41Decoder, RS41Modulator)
