@@ -1,0 +1,197 @@
+"""The per-block decoding pipeline: batched IQ in, framed chips out.
+
+Fuses the reference's L2-L4 thread chain (VFO -> FM demod -> resampler ->
+sondedump decoder, src/main.cpp:55-68) into ONE jitted device program over a
+channel axis (BASELINE.json:5): FM discriminate, matched-filter, recover
+symbol timing, slice, ring-buffer chips, correlate the syncword, and gather
+complete frames into fixed-capacity slots. Byte-level work (FEC + parse)
+happens host-side on the tiny framed output (SURVEY.md §7 "decide by
+measuring").
+
+Carry-over state is an explicit pytree (SURVEY.md §5.7): chunked processing
+of a stream equals processing it unchunked, which tests/test_pipeline.py
+asserts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sondetpu.dsp.demod import FMState, fm_init
+from sondetpu.dsp.fir import FIRState, design_lowpass, fir_init
+from sondetpu.sync.correlator import (
+    correlate_syncword, find_frame_starts, gather_frames, syncword_to_chips)
+from sondetpu.sync.timing import TimingState, oerder_meyr_tau, timing_init
+from sondetpu.sondes.base import get_sonde
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Static compile-time parameters of a per-type chain."""
+
+    sonde: str = "rs41"
+    channels: int = 8
+    fs: float = 48000.0            # channel IQ sample rate
+    block_len: int = 48000         # IQ samples per step (1 s)
+    max_frames: int = 4            # frame slots per channel per block
+    sync_threshold: float = 0.6    # normalized correlation acceptance
+    ntaps: int = 41                # matched/lowpass filter taps
+    dc_block: bool = True          # remove residual carrier offset per block
+
+    def __post_init__(self):
+        spec = get_sonde(self.sonde)["spec"]
+        sps = self.fs / spec.baud
+        if abs(self.block_len / sps - round(self.block_len / sps)) > 1e-9:
+            raise ValueError("block_len must be an integer number of symbols")
+
+    @property
+    def spec(self):
+        return get_sonde(self.sonde)["spec"]
+
+    @property
+    def sps(self) -> float:
+        return self.fs / self.spec.baud
+
+    @property
+    def chips_per_block(self) -> int:
+        return int(round(self.block_len / self.sps))
+
+    @property
+    def chip_cap(self) -> int:
+        # symbol clock can emit one extra chip when the phase wraps
+        return self.chips_per_block + 1
+
+    @property
+    def frame_chips(self) -> int:
+        return self.spec.chips_per_frame
+
+    @property
+    def buf_len(self) -> int:
+        # ring holds one full frame of history plus a block of new chips
+        return self.frame_chips + self.chip_cap
+
+
+class PipelineState(NamedTuple):
+    fm: FMState
+    fir: FIRState
+    timing: TimingState
+    chipbuf: jax.Array      # [C, buf_len] soft chips (zeros before lock)
+    buf_fill: jax.Array     # [C] int32, how many chips in buffer are real
+
+
+class BlockOutput(NamedTuple):
+    frames: jax.Array       # [C, K, frame_chips] uint8 hard chips
+    frame_valid: jax.Array  # [C, K] bool
+    frame_score: jax.Array  # [C, K] float32 sync correlation
+    soft_rms: jax.Array     # [C] float32 chip-level signal quality
+
+
+class Pipeline:
+    """Compiled per-block decoder front end for one sonde type."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        spec = config.spec
+        c = config
+
+        nyq_cut = 0.55 * spec.baud
+        self._taps = jnp.asarray(design_lowpass(nyq_cut, c.fs, c.ntaps))
+        self._template = jnp.asarray(syncword_to_chips(spec.syncword, spec.lsb_first))
+        self._fs = c.fs
+        self._dev = spec.dev
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self) -> PipelineState:
+        c = self.config
+        return PipelineState(
+            fm=fm_init(c.channels),
+            fir=fir_init(c.channels, c.ntaps),
+            timing=timing_init(c.channels),
+            chipbuf=jnp.zeros((c.channels, c.buf_len), jnp.float32),
+            buf_fill=jnp.zeros((c.channels,), jnp.int32),
+        )
+
+    # -- the jitted step ---------------------------------------------------
+
+    def step(self, state: PipelineState, iq: jax.Array):
+        """iq: [channels, block_len] complex64 -> (state, BlockOutput)."""
+        return self._step(state, iq)
+
+    def _step_impl(self, state: PipelineState, iq: jax.Array):
+        c = self.config
+        sps = c.sps
+
+        # L2: FM quadrature discriminator (ref main.cpp:57)
+        prev = jnp.concatenate([state.fm.prev[:, None], iq[:, :-1]], axis=-1)
+        d = iq * jnp.conj(prev)
+        audio = jnp.arctan2(d.imag, d.real) * (self._fs / (2.0 * jnp.pi * self._dev))
+        fm_state = FMState(prev=iq[:, -1])
+
+        if c.dc_block:
+            audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
+
+        # matched/channel filter with overlap-save carry (SURVEY.md S0)
+        xp = jnp.concatenate([state.fir.tail, audio], axis=-1)
+        ntaps = self._taps.shape[0]
+        h_rev = self._taps[::-1]
+        n = audio.shape[-1]
+        cols = [jax.lax.dynamic_slice_in_dim(xp, k, n, axis=-1) for k in range(ntaps)]
+        filt = jnp.stack(cols, axis=-1) @ h_rev
+        fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
+
+        # symbol timing: feed-forward estimate + slew-limited NCO carry
+        tau = oerder_meyr_tau(filt, sps)
+        err = jnp.mod(tau - state.timing.pos + sps / 2.0, sps) - sps / 2.0
+        corrected = state.timing.pos + jnp.clip(err, -0.5, 0.5)
+        start = jnp.where(state.timing.locked > 0, corrected, tau)
+        start = jnp.mod(start, sps)
+        k = jnp.arange(c.chip_cap, dtype=jnp.float32)
+        pos = start[:, None] + k[None, :] * sps
+        chip_valid = pos < n
+        p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+        frac = jnp.clip(pos - p0.astype(jnp.float32), 0.0, 1.0)
+        a = jnp.take_along_axis(filt, p0, axis=-1)
+        b = jnp.take_along_axis(filt, p0 + 1, axis=-1)
+        soft = jnp.where(chip_valid, a + (b - a) * frac, 0.0)
+        nvalid = jnp.sum(chip_valid, axis=-1).astype(jnp.int32)
+        next_pos = start + nvalid.astype(jnp.float32) * sps - n
+        timing_state = TimingState(pos=next_pos, locked=jnp.ones_like(state.timing.locked))
+
+        # chip ring buffer: append nvalid new chips, keep last buf_len
+        ext = jnp.concatenate([state.chipbuf, soft], axis=-1)   # [C, buf+cap]
+        idx = jnp.arange(c.buf_len)[None, :] + nvalid[:, None]
+        chipbuf = jnp.take_along_axis(ext, idx, axis=-1)
+        buf_fill = jnp.minimum(state.buf_fill + nvalid, c.buf_len)
+
+        # frame sync: correlate + peak pick + gather (SURVEY.md S0)
+        corr = correlate_syncword(chipbuf, self._template)
+        min_dist = max(self.config.frame_chips // 4, self._template.shape[0])
+        starts, ok = find_frame_starts(corr, self.config.sync_threshold,
+                                       c.max_frames, min_dist)
+        frames_soft, fit = gather_frames(chipbuf, starts, ok, c.frame_chips)
+        # dedup across blocks: only frames whose END lies in the new chips
+        is_new = (starts + c.frame_chips) > (c.buf_len - nvalid)[:, None]
+        # and whose start lies within real (filled) history
+        in_hist = starts >= (c.buf_len - buf_fill)[:, None]
+        frame_valid = fit & is_new & in_hist
+        frames = (frames_soft > 0).astype(jnp.uint8)
+        score = jnp.take_along_axis(
+            jnp.pad(corr, ((0, 0), (0, c.frame_chips))), starts, axis=-1)
+
+        out = BlockOutput(
+            frames=frames,
+            frame_valid=frame_valid,
+            frame_score=score,
+            soft_rms=jnp.sqrt(jnp.mean(soft * soft, axis=-1)),
+        )
+        new_state = PipelineState(fm=fm_state, fir=fir_state, timing=timing_state,
+                                  chipbuf=chipbuf, buf_fill=buf_fill)
+        return new_state, out

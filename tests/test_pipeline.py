@@ -1,0 +1,120 @@
+"""End-to-end pipeline tests: modulated RS41 IQ -> decoded telemetry.
+
+The minimum end-to-end slice of SURVEY.md §7 step 4, as a golden-IQ test:
+synthesized frames with known truth must decode bit-exactly through the
+full batched device chain.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
+from sondetpu.runtime.session import DecoderSession
+from sondetpu.sondes.modulate import add_awgn, freq_shift
+from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+from sondetpu.telemetry import Fields
+
+
+def _make_iq(n_frames=6, channels=1, snr_db=None, seed=0, **truth_kw):
+    mod = RS41Modulator()
+    truths = [RS41Truth(frame_no=100 + i, **truth_kw) for i in range(n_frames)]
+    iq = mod.modulate(truths, fs=48000.0)
+    rng = np.random.default_rng(seed)
+    chans = []
+    for c in range(channels):
+        x = iq.copy()
+        if snr_db is not None:
+            x = add_awgn(x, snr_db, rng=rng)
+        chans.append(x)
+    return np.stack(chans), truths
+
+
+def test_rs41_end_to_end_clean():
+    iq, truths = _make_iq(n_frames=6)
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000)
+    sess = DecoderSession(cfg)
+    updates = []
+    n = iq.shape[1]
+    for i in range(0, n - cfg.block_len + 1, cfg.block_len):
+        updates += sess.process_block(iq[:, i:i + cfg.block_len])
+    assert sess.frames_seen >= 4, sess.frames_seen
+    assert updates, "no telemetry decoded"
+    ch, telem = updates[-1]
+    assert ch == 0
+    assert telem.serial == "S1234567"
+    assert telem.lat == pytest.approx(45.0, abs=1e-5)
+    assert telem.lon == pytest.approx(9.0, abs=1e-5)
+    assert telem.alt == pytest.approx(12000.0, abs=0.1)
+    # all frame numbers distinct and increasing
+    seqs = sorted({t.seq for _, t in updates})
+    assert len(seqs) >= 4
+    assert seqs == sorted(seqs)
+
+
+def test_rs41_end_to_end_noisy_10db():
+    """FER at 10 dB SNR must be ~0 for the clean-channel chain
+    (BASELINE.json:5 'FER matching the CPU reference at 10 dB SNR')."""
+    iq, truths = _make_iq(n_frames=8, snr_db=10.0)
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000)
+    sess = DecoderSession(cfg)
+    count = 0
+    n = iq.shape[1]
+    for i in range(0, n - cfg.block_len + 1, cfg.block_len):
+        count += len(sess.process_block(iq[:, i:i + cfg.block_len]))
+    assert count >= 6, f"only {count} frames decoded at 10 dB"
+
+
+def test_rs41_multichannel_independent_streams():
+    """Each channel decodes its own stream (different serial per channel)."""
+    mod = RS41Modulator()
+    fs = 48000.0
+    chans = []
+    serials = ["AAA00001", "BBB00002", "CCC00003"]
+    for s in serials:
+        truths = [RS41Truth(frame_no=50 + i, serial=s, alt=10000.0 + 10 * i)
+                  for i in range(4)]
+        chans.append(mod.modulate(truths, fs=fs))
+    nmin = min(x.size for x in chans)
+    iq = np.stack([x[:nmin] for x in chans])
+    cfg = PipelineConfig(sonde="rs41", channels=3, block_len=48000)
+    sess = DecoderSession(cfg)
+    for i in range(0, nmin - cfg.block_len + 1, cfg.block_len):
+        sess.process_block(iq[:, i:i + cfg.block_len])
+    for c, s in enumerate(serials):
+        assert c in sess.telemetry, f"channel {c} decoded nothing"
+        assert sess.telemetry[c].serial == s
+
+
+def test_rs41_block_size_invariance():
+    """Chunked == unchunked (SURVEY.md §7: 'chunked decode == unchunked
+    decode for any block size')."""
+    iq, _ = _make_iq(n_frames=6)
+    # zero-pad so every block size processes the identical sample stream
+    lcm = 96000
+    pad = (-iq.shape[1]) % lcm
+    iq = np.pad(iq, ((0, 0), (0, pad)))
+    results = {}
+    for block in (24000, 48000, 96000):
+        cfg = PipelineConfig(sonde="rs41", channels=1, block_len=block)
+        sess = DecoderSession(cfg)
+        n = iq.shape[1]
+        for i in range(0, n - block + 1, block):
+            sess.process_block(iq[:, i:i + block])
+        results[block] = sess.frames_seen
+    assert min(results.values()) >= 5, results
+    assert max(results.values()) - min(results.values()) <= 1, results
+
+
+def test_rs41_survives_frequency_offset():
+    """Residual carrier offset appears as DC in FM audio; the dc_block stage
+    must absorb a few hundred Hz."""
+    iq, _ = _make_iq(n_frames=5)
+    iq = np.stack([freq_shift(iq[0], 300.0 / 48000.0)])
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000)
+    sess = DecoderSession(cfg)
+    n = iq.shape[1]
+    for i in range(0, n - cfg.block_len + 1, cfg.block_len):
+        sess.process_block(iq[:, i:i + cfg.block_len])
+    assert sess.frames_seen >= 3
+    assert sess.telemetry[0].serial == "S1234567"
