@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: concurrent real-time RS41 channels per chip.
+
+Runs the full jitted decode pipeline (FM demod -> matched filter -> timing
+-> slicer -> syncword correlator -> frame gather) on real hardware over a
+large channel batch and measures sustained throughput.
+
+Metric: rs41_realtime_channels_per_chip — how many 48 kHz RS41 channels one
+chip decodes in real time (channels * block_seconds / step_wall_seconds).
+
+vs_baseline: the reference decodes 1 channel per CPU core in real time
+(SURVEY.md §6, implicit contract: one 48 kHz stream per module instance);
+the north-star target is >=1000 channels on a v5e-16, i.e. 62.5
+channels/chip (BASELINE.json:5). vs_baseline = value / 62.5 so 1.0 means
+the per-chip share of the north-star is met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    block_len = 48000          # 1 second of 48 kHz IQ per step
+    fs = 48000.0
+
+    cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=block_len)
+    pipe = Pipeline(cfg)
+    state = pipe.init_state()
+
+    # real modulated signal (so the datapath sees representative values)
+    mod = RS41Modulator()
+    iq1 = mod.modulate([RS41Truth(frame_no=i) for i in range(2)], fs=fs)[:block_len]
+    rng = np.random.default_rng(0)
+    iq = np.tile(iq1[None, :], (channels, 1))
+    iq += (rng.normal(size=iq.shape) + 1j * rng.normal(size=iq.shape)).astype(
+        np.complex64) * 0.1
+    iq = jnp.asarray(iq.astype(np.complex64))
+
+    # warmup / compile
+    state, out = pipe.step(state, iq)
+    jax.block_until_ready(out)
+    state, out = pipe.step(state, iq)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, out = pipe.step(state, iq)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    block_seconds = block_len / fs
+    rt_channels = channels * block_seconds / dt
+    msps = channels * block_len / dt / 1e6
+
+    result = {
+        "metric": "rs41_realtime_channels_per_chip",
+        "value": round(rt_channels, 1),
+        "unit": "channels",
+        "vs_baseline": round(rt_channels / 62.5, 3),
+        "detail": {
+            "iq_msamples_per_sec_per_chip": round(msps, 2),
+            "channels_batched": channels,
+            "step_ms": round(dt * 1e3, 3),
+            "frames_found": int(np.asarray(out.frame_valid).sum()),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

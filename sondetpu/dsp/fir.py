@@ -102,15 +102,24 @@ def fir_filter(x: jax.Array, taps: jax.Array) -> jax.Array:
 
 
 def _apply_windows(xp: jax.Array, taps: jax.Array) -> jax.Array:
+    """[batch, n + ntaps - 1] padded input -> [batch, n] causal FIR output.
+
+    Lowered as a batched 1-D convolution (never materializes the
+    [batch, n, ntaps] window tensor — that would be ~TBs at 1000 channels).
+    """
     ntaps = taps.shape[0]
-    # y[n] = sum_k h[k] x[n-k]  ==  windows[n, j] * h_rev[j]
-    h_rev = taps[::-1]
+    h_rev = taps[::-1].astype(jnp.float32)
     if jnp.iscomplexobj(xp):
-        wr = _sliding_windows(xp.real, ntaps)
-        wi = _sliding_windows(xp.imag, ntaps)
-        return (wr @ h_rev) + 1j * (wi @ h_rev)
-    w = _sliding_windows(xp, ntaps)
-    return w @ h_rev
+        return (_conv1d(xp.real, h_rev) + 1j * _conv1d(xp.imag, h_rev))
+    return _conv1d(xp, h_rev)
+
+
+def _conv1d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :].astype(jnp.float32), kernel[None, None, :],
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return out[:, 0, :]
 
 
 @partial(jax.jit, static_argnames=())

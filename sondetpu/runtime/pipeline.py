@@ -23,11 +23,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sondetpu.dsp.demod import FMState, fm_init
-from sondetpu.dsp.fir import FIRState, design_lowpass, fir_init
+from sondetpu.dsp.fir import FIRState, _apply_windows, design_lowpass
 from sondetpu.sync.correlator import (
     correlate_syncword, find_frame_starts, gather_frames, syncword_to_chips)
-from sondetpu.sync.timing import TimingState, oerder_meyr_tau, timing_init
+from sondetpu.sync.timing import TimingState, oerder_meyr_tau
 from sondetpu.sondes.base import get_sonde
 
 
@@ -78,7 +77,10 @@ class PipelineConfig:
 
 
 class PipelineState(NamedTuple):
-    fm: FMState
+    # IQ is carried as float32 I/Q planes end to end: several PJRT backends
+    # (including the tunneled TPU used here) cannot execute complex64
+    # programs, and split planes map better onto the VPU anyway.
+    fm_prev: jax.Array      # [C, 2] float32: previous (I, Q) sample
     fir: FIRState
     timing: TimingState
     chipbuf: jax.Array      # [C, buf_len] soft chips (zeros before lock)
@@ -100,9 +102,12 @@ class Pipeline:
         spec = config.spec
         c = config
 
+        # kept as NumPy: baked into the jitted program as constants without a
+        # device round-trip (some PJRT backends cannot read device constants
+        # back during tracing)
         nyq_cut = 0.55 * spec.baud
-        self._taps = jnp.asarray(design_lowpass(nyq_cut, c.fs, c.ntaps))
-        self._template = jnp.asarray(syncword_to_chips(spec.syncword, spec.lsb_first))
+        self._taps = design_lowpass(nyq_cut, c.fs, c.ntaps)
+        self._template = syncword_to_chips(spec.syncword, spec.lsb_first)
         self._fs = c.fs
         self._dev = spec.dev
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
@@ -110,30 +115,43 @@ class Pipeline:
     # -- state -------------------------------------------------------------
 
     def init_state(self) -> PipelineState:
+        # NumPy leaves: no eager device ops (the tunneled TPU backend only
+        # supports compiled executables + transfers); first step() uploads.
         c = self.config
         return PipelineState(
-            fm=fm_init(c.channels),
-            fir=fir_init(c.channels, c.ntaps),
-            timing=timing_init(c.channels),
-            chipbuf=jnp.zeros((c.channels, c.buf_len), jnp.float32),
-            buf_fill=jnp.zeros((c.channels,), jnp.int32),
+            fm_prev=np.zeros((c.channels, 2), np.float32),
+            fir=FIRState(tail=np.zeros((c.channels, c.ntaps - 1), np.float32)),
+            timing=TimingState(pos=np.zeros((c.channels,), np.float32),
+                               locked=np.zeros((c.channels,), np.float32)),
+            chipbuf=np.zeros((c.channels, c.buf_len), np.float32),
+            buf_fill=np.zeros((c.channels,), np.int32),
         )
 
     # -- the jitted step ---------------------------------------------------
 
-    def step(self, state: PipelineState, iq: jax.Array):
-        """iq: [channels, block_len] complex64 -> (state, BlockOutput)."""
-        return self._step(state, iq)
+    def step(self, state: PipelineState, iq):
+        """iq: [channels, block_len] complex64 (host) or an (i, q) float32
+        plane pair -> (state, BlockOutput)."""
+        if isinstance(iq, tuple):
+            i, q = iq
+        else:
+            iq = np.asarray(iq)
+            i = np.ascontiguousarray(iq.real.astype(np.float32))
+            q = np.ascontiguousarray(iq.imag.astype(np.float32))
+        return self._step(state, i, q)
 
-    def _step_impl(self, state: PipelineState, iq: jax.Array):
+    def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
         sps = c.sps
 
-        # L2: FM quadrature discriminator (ref main.cpp:57)
-        prev = jnp.concatenate([state.fm.prev[:, None], iq[:, :-1]], axis=-1)
-        d = iq * jnp.conj(prev)
-        audio = jnp.arctan2(d.imag, d.real) * (self._fs / (2.0 * jnp.pi * self._dev))
-        fm_state = FMState(prev=iq[:, -1])
+        # L2: FM quadrature discriminator on I/Q planes (ref main.cpp:57):
+        # d = x[n] * conj(x[n-1]); audio = atan2(im(d), re(d)) * fs/(2*pi*dev)
+        pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]], axis=-1)
+        pq_ = jnp.concatenate([state.fm_prev[:, 1:2], iq_q[:, :-1]], axis=-1)
+        dre = iq_i * pi_ + iq_q * pq_
+        dim = iq_q * pi_ - iq_i * pq_
+        audio = jnp.arctan2(dim, dre) * (self._fs / (2.0 * jnp.pi * self._dev))
+        fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
 
         if c.dc_block:
             audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
@@ -141,10 +159,8 @@ class Pipeline:
         # matched/channel filter with overlap-save carry (SURVEY.md S0)
         xp = jnp.concatenate([state.fir.tail, audio], axis=-1)
         ntaps = self._taps.shape[0]
-        h_rev = self._taps[::-1]
         n = audio.shape[-1]
-        cols = [jax.lax.dynamic_slice_in_dim(xp, k, n, axis=-1) for k in range(ntaps)]
-        filt = jnp.stack(cols, axis=-1) @ h_rev
+        filt = _apply_windows(xp, self._taps)
         fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
 
         # symbol timing: feed-forward estimate + slew-limited NCO carry
@@ -192,6 +208,6 @@ class Pipeline:
             frame_score=score,
             soft_rms=jnp.sqrt(jnp.mean(soft * soft, axis=-1)),
         )
-        new_state = PipelineState(fm=fm_state, fir=fir_state, timing=timing_state,
+        new_state = PipelineState(fm_prev=fm_state, fir=fir_state, timing=timing_state,
                                   chipbuf=chipbuf, buf_fill=buf_fill)
         return new_state, out

@@ -57,10 +57,13 @@ def oerder_meyr_tau(x: jax.Array, sps: float) -> jax.Array:
     """
     n = x.shape[-1]
     idx = jnp.arange(n, dtype=jnp.float32)
-    e = jnp.exp(-2j * jnp.pi * idx / sps)
+    w = 2.0 * jnp.pi * idx / sps
     sq = x.astype(jnp.float32) ** 2
-    c = jnp.sum(sq.astype(jnp.complex64) * e, axis=-1)
-    tau = -jnp.angle(c) / (2.0 * jnp.pi) * sps
+    # real-only form of sum(sq * exp(-j*w)): some TPU backends cannot run
+    # complex programs, and two real reductions fuse better anyway
+    cr = jnp.sum(sq * jnp.cos(w), axis=-1)
+    ci = -jnp.sum(sq * jnp.sin(w), axis=-1)
+    tau = -jnp.arctan2(ci, cr) / (2.0 * jnp.pi) * sps
     return jnp.mod(tau, sps)
 
 

@@ -1,0 +1,81 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4 item 4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sondetpu.dsp.fir import design_lowpass, fir_filter
+from sondetpu.parallel import make_mesh, shard_channels, sharded_pipeline_step, time_parallel_fir
+from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
+from sondetpu.runtime.session import DecoderSession
+from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_time_parallel_fir_matches_serial():
+    """Halo exchange via ppermute == unsharded causal FIR (SURVEY.md §5.7)."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 1024)).astype(np.float32)
+    taps = jnp.asarray(design_lowpass(0.2, 1.0, 33))
+    want = np.asarray(fir_filter(jnp.asarray(x), taps))
+    got = np.asarray(time_parallel_fir(jnp.asarray(x), taps, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_channel_sharded_pipeline_step():
+    """The full decode step runs SPMD with channels sharded over 8 devices
+    and produces the same frames as the single-device run."""
+    channels = 8
+    mod = RS41Modulator()
+    fs = 48000.0
+    iq1 = mod.modulate([RS41Truth(frame_no=10 + i) for i in range(2)], fs=fs)
+    iq = np.stack([iq1] * channels)[:, :48000]
+
+    cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=48000)
+    pipe = Pipeline(cfg)
+
+    # single-device reference
+    st0 = pipe.init_state()
+    _, out_ref = pipe.step(st0, iq)
+
+    # sharded
+    mesh = make_mesh()
+    step_fn, shard_fn = sharded_pipeline_step(pipe, mesh)
+    st = shard_fn(pipe.init_state())
+    iq_i = shard_fn(np.ascontiguousarray(iq.real.astype(np.float32)))
+    iq_q = shard_fn(np.ascontiguousarray(iq.imag.astype(np.float32)))
+    _, out = step_fn(st, iq_i, iq_q)
+
+    np.testing.assert_array_equal(np.asarray(out.frame_valid),
+                                  np.asarray(out_ref.frame_valid))
+    np.testing.assert_array_equal(np.asarray(out.frames), np.asarray(out_ref.frames))
+
+
+def test_sharded_session_decodes():
+    """Sharded state + step through multiple blocks decodes telemetry."""
+    channels = 8
+    mod = RS41Modulator()
+    iq1 = mod.modulate([RS41Truth(frame_no=5 + i, serial="SHRD0001") for i in range(4)])
+    iq = np.stack([iq1] * channels)
+
+    cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=48000)
+    pipe = Pipeline(cfg)
+    mesh = make_mesh()
+    step_fn, shard_fn = sharded_pipeline_step(pipe, mesh)
+    state = shard_fn(pipe.init_state())
+    n = iq.shape[1]
+    total = 0
+    for i in range(0, n - 48000 + 1, 48000):
+        blk = iq[:, i:i + 48000]
+        state, out = step_fn(
+            state,
+            shard_fn(np.ascontiguousarray(blk.real.astype(np.float32))),
+            shard_fn(np.ascontiguousarray(blk.imag.astype(np.float32))))
+        total += int(np.asarray(out.frame_valid).sum())
+    assert total >= channels * 2
