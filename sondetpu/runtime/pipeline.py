@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sondetpu.dsp.fir import FIRState, _apply_windows, design_lowpass
+from sondetpu.sync.coding import biphase_m_decode, manchester_decode
 from sondetpu.sync.correlator import (
     correlate_syncword, find_frame_starts, gather_frames, syncword_to_chips)
 from sondetpu.sync.timing import TimingState, oerder_meyr_tau
@@ -88,7 +89,7 @@ class PipelineState(NamedTuple):
 
 
 class BlockOutput(NamedTuple):
-    frames: jax.Array       # [C, K, frame_chips] uint8 hard chips
+    frames: jax.Array       # [C, K, frame_bytes] uint8 descrambled bytes
     frame_valid: jax.Array  # [C, K] bool
     frame_score: jax.Array  # [C, K] float32 sync correlation
     soft_rms: jax.Array     # [C] float32 chip-level signal quality
@@ -198,7 +199,22 @@ class Pipeline:
         # and whose start lies within real (filled) history
         in_hist = starts >= (c.buf_len - buf_fill)[:, None]
         frame_valid = fit & is_new & in_hist
-        frames = (frames_soft > 0).astype(jnp.uint8)
+        chips = (frames_soft > 0).astype(jnp.uint8)
+        # chip -> byte assembly on device (8x smaller host readback):
+        # line decode, pack to bytes in the protocol's bit order, de-whiten
+        spec = c.spec
+        if spec.line_code == "manchester":
+            chips = manchester_decode(chips)
+        elif spec.line_code == "biphase_m":
+            chips = biphase_m_decode(chips)
+        bits8 = chips.reshape(chips.shape[0], chips.shape[1], spec.frame_bytes, 8)
+        w = np.array([1, 2, 4, 8, 16, 32, 64, 128] if spec.lsb_first
+                     else [128, 64, 32, 16, 8, 4, 2, 1], dtype=np.int32)
+        frames = jnp.sum(bits8.astype(jnp.int32) * w, axis=-1).astype(jnp.uint8)
+        mask = spec.extra.get("whitening")
+        if mask is not None:
+            full = np.resize(np.asarray(mask, np.uint8), spec.frame_bytes)
+            frames = jnp.bitwise_xor(frames, full)
         score = jnp.take_along_axis(
             jnp.pad(corr, ((0, 0), (0, c.frame_chips))), starts, axis=-1)
 

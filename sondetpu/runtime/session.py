@@ -52,7 +52,8 @@ class DecoderSession:
         ch_idx, slot_idx = np.nonzero(valid)
         frames = np.asarray(out.frames)[ch_idx, slot_idx]     # [n, frame_chips]
         self.frames_seen += frames.shape[0]
-        frags = self.decoder.decode_chip_frames(frames, ch_idx)
+        # frames arrive as descrambled bytes (packed + de-whitened on device)
+        frags = self.decoder.decode_byte_frames(frames, ch_idx)
         updates: List[Tuple[int, SondeTelemetry]] = []
         for ch, frag in frags:
             telem = self.telemetry.setdefault(int(ch), SondeTelemetry())

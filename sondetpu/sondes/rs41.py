@@ -105,6 +105,8 @@ SPEC = ProtocolSpec(
     frame_bytes=FRAME_BYTES,
     line_code="nrz",
     deviation=2400.0,
+    # the device pipeline packs bits to bytes and de-whitens on-device
+    extra={"whitening": WHITENING_MASK},
 )
 
 
