@@ -86,6 +86,8 @@ class PipelineState(NamedTuple):
     timing: TimingState
     chipbuf: jax.Array      # [C, buf_len] soft chips (zeros before lock)
     buf_fill: jax.Array     # [C] int32, how many chips in buffer are real
+    aux: tuple = ()         # modulation-specific carry (AFSK: 4 tone-filter
+                            # tails [C, win-1] + phase counter [1])
 
 
 class BlockOutput(NamedTuple):
@@ -108,9 +110,12 @@ class Pipeline:
         # back during tracing)
         nyq_cut = 0.55 * spec.baud
         self._taps = design_lowpass(nyq_cut, c.fs, c.ntaps)
-        self._template = syncword_to_chips(spec.syncword, spec.lsb_first)
+        self._template = spec.sync_chip_template()
         self._fs = c.fs
         self._dev = spec.dev
+        self._afsk = spec.modulation == "afsk"
+        if self._afsk:
+            self._afsk_win = max(int(c.fs / spec.baud), 2)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     # -- state -------------------------------------------------------------
@@ -119,6 +124,11 @@ class Pipeline:
         # NumPy leaves: no eager device ops (the tunneled TPU backend only
         # supports compiled executables + transfers); first step() uploads.
         c = self.config
+        aux = ()
+        if self._afsk:
+            w = self._afsk_win - 1
+            aux = tuple(np.zeros((c.channels, w), np.float32) for _ in range(4)) \
+                + (np.zeros((1,), np.int32),)
         return PipelineState(
             fm_prev=np.zeros((c.channels, 2), np.float32),
             fir=FIRState(tail=np.zeros((c.channels, c.ntaps - 1), np.float32)),
@@ -126,6 +136,7 @@ class Pipeline:
                                locked=np.zeros((c.channels,), np.float32)),
             chipbuf=np.zeros((c.channels, c.buf_len), np.float32),
             buf_fill=np.zeros((c.channels,), np.int32),
+            aux=aux,
         )
 
     # -- the jitted step ---------------------------------------------------
@@ -140,6 +151,39 @@ class Pipeline:
             i = np.ascontiguousarray(iq.real.astype(np.float32))
             q = np.ascontiguousarray(iq.imag.astype(np.float32))
         return self._step(state, i, q)
+
+    def _afsk_frontend(self, state: PipelineState, audio: jax.Array):
+        """Dual-tone AFSK discriminator with carried tone-filter tails and
+        LO phase (SURVEY.md S5: 'dual-tone Goertzel/quadrature discriminator
+        kernel'). Returns (soft in [-1,1], fir_state passthrough, aux)."""
+        spec = self.config.spec
+        fs = self._fs
+        win = self._afsk_win
+        box = np.ones(win, np.float32) / win
+        n = audio.shape[-1]
+        t_mark, t_space = spec.afsk_mark, spec.afsk_space
+        # LO phase repeats every L samples for both tones (exact int cycles)
+        from fractions import Fraction
+        L = np.lcm(Fraction(t_mark / fs).limit_denominator(1 << 20).denominator,
+                   Fraction(t_space / fs).limit_denominator(1 << 20).denominator)
+        count = state.aux[4][0]
+        idx = count.astype(jnp.float32) + jnp.arange(n, dtype=jnp.float32)
+
+        energies = []
+        new_tails = []
+        for j, f in enumerate((t_mark, t_space)):
+            w = 2.0 * jnp.pi * f / fs
+            ci = audio * jnp.cos(w * idx)
+            cq = audio * jnp.sin(w * idx)
+            ti, tq = state.aux[2 * j], state.aux[2 * j + 1]
+            fi = _apply_windows(jnp.concatenate([ti, ci], axis=-1), box)
+            fq = _apply_windows(jnp.concatenate([tq, cq], axis=-1), box)
+            energies.append(fi * fi + fq * fq)
+            new_tails += [ci[:, -(win - 1):], cq[:, -(win - 1):]]
+        em, es = energies
+        soft = (em - es) / (em + es + 1e-9)
+        aux = tuple(new_tails) + (((count + n) % int(L))[None].astype(jnp.int32),)
+        return soft, state.fir, aux
 
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
@@ -157,12 +201,17 @@ class Pipeline:
         if c.dc_block:
             audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
 
-        # matched/channel filter with overlap-save carry (SURVEY.md S0)
-        xp = jnp.concatenate([state.fir.tail, audio], axis=-1)
-        ntaps = self._taps.shape[0]
         n = audio.shape[-1]
-        filt = _apply_windows(xp, self._taps)
-        fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
+        if self._afsk:
+            # AFSK front end: dual-tone quadrature discriminator (S5/S6)
+            filt, fir_state, aux_state = self._afsk_frontend(state, audio)
+        else:
+            # matched/channel filter with overlap-save carry (SURVEY.md S0)
+            xp = jnp.concatenate([state.fir.tail, audio], axis=-1)
+            ntaps = self._taps.shape[0]
+            filt = _apply_windows(xp, self._taps)
+            fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
+            aux_state = ()
 
         # symbol timing: feed-forward estimate + slew-limited NCO carry
         tau = oerder_meyr_tau(filt, sps)
@@ -190,6 +239,9 @@ class Pipeline:
 
         # frame sync: correlate + peak pick + gather (SURVEY.md S0)
         corr = correlate_syncword(chipbuf, self._template)
+        if c.spec.extra.get("abs_corr"):
+            # biphase-M is polarity-ambiguous: match either polarity
+            corr = jnp.abs(corr)
         min_dist = max(self.config.frame_chips // 4, self._template.shape[0])
         starts, ok = find_frame_starts(corr, self.config.sync_threshold,
                                        c.max_frames, min_dist)
@@ -225,5 +277,5 @@ class Pipeline:
             soft_rms=jnp.sqrt(jnp.mean(soft * soft, axis=-1)),
         )
         new_state = PipelineState(fm_prev=fm_state, fir=fir_state, timing=timing_state,
-                                  chipbuf=chipbuf, buf_fill=buf_fill)
+                                  chipbuf=chipbuf, buf_fill=buf_fill, aux=aux_state)
         return new_state, out

@@ -47,6 +47,35 @@ class ProtocolSpec:
         mult = 2 if self.line_code in ("manchester", "biphase_m") else 1
         return self.frame_bytes * 8 * mult
 
+    def sync_chip_template(self) -> "np.ndarray":
+        """+/-1 chip-domain correlation template for the syncword.
+
+        For line-coded protocols the template is the chip expansion of the
+        sync bytes; biphase-M is polarity-ambiguous (level-dependent), so
+        its users also set extra['abs_corr'] and the correlator thresholds
+        on |corr|.
+        """
+        from sondetpu.sync.coding import np_bytes_to_bits
+
+        bits = np_bytes_to_bits(
+            np.frombuffer(self.syncword, dtype=np.uint8), self.lsb_first)
+        if self.line_code == "manchester":
+            chips = np.empty(bits.size * 2, dtype=np.float32)
+            chips[0::2] = bits
+            chips[1::2] = 1 - bits
+        elif self.line_code == "biphase_m":
+            chips = np.empty(bits.size * 2, dtype=np.float32)
+            level = 0
+            for k, b in enumerate(bits):
+                level ^= 1
+                chips[2 * k] = level
+                if b:
+                    level ^= 1
+                chips[2 * k + 1] = level
+        else:
+            chips = bits.astype(np.float32)
+        return chips * 2.0 - 1.0
+
 
 class SondeDecoderBase:
     """Host-side frame decoder: chips -> bytes -> telemetry fragments.

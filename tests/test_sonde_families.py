@@ -1,0 +1,155 @@
+"""End-to-end golden-IQ tests for every sonde family (SURVEY.md §2.3 S1-S7).
+
+Each family: modulate known telemetry -> full device pipeline -> decoded
+telemetry must match the truth. This is the per-family acceptance gate
+(BASELINE.json:7-11 config coverage)."""
+
+import numpy as np
+import pytest
+
+from sondetpu.runtime.pipeline import PipelineConfig
+from sondetpu.runtime.session import DecoderSession
+from sondetpu.sondes import SUPPORTED_TYPES, get_sonde
+from sondetpu.sondes.modulate import add_awgn
+
+
+def test_registry_covers_reference_table():
+    """All 7 entries of the reference's supported-types table
+    (main.hpp:44-52) have an implementation."""
+    assert set(SUPPORTED_TYPES) == {
+        "rs41", "dfm", "ims100", "m10", "imet4", "c50", "mrzn1"}
+    for name in SUPPORTED_TYPES:
+        ent = get_sonde(name)
+        assert ent["spec"].bandwidth > 0
+        assert ent["decoder"] is not None and ent["modulator"] is not None
+
+
+def _run(sonde, iq, block_len=48000, snr_db=None, seed=0, max_frames=None):
+    if snr_db is not None:
+        iq = add_awgn(iq, snr_db, rng=np.random.default_rng(seed))
+    if max_frames is None:
+        # enough slots for the shortest frames of the family in one block
+        spec = get_sonde(sonde)["spec"]
+        chips_per_block = int(block_len / 48000.0 * spec.baud)
+        max_frames = max(4, chips_per_block // spec.chips_per_frame + 2)
+    cfg = PipelineConfig(sonde=sonde, channels=1, block_len=block_len,
+                         sync_threshold=0.55, max_frames=max_frames)
+    sess = DecoderSession(cfg)
+    n = iq.size
+    pad = (-n) % block_len
+    iq = np.pad(iq, (0, pad))
+    for i in range(0, iq.size - block_len + 1, block_len):
+        sess.process_block(iq[None, i:i + block_len])
+    return sess
+
+
+def test_dfm_end_to_end():
+    from sondetpu.sondes.dfm import DFMModulator, DFMTruth
+
+    mod = DFMModulator()
+    truths = [DFMTruth(frame_no=10 + i) for i in range(10)]
+    iq = mod.modulate(truths)
+    sess = _run("dfm", iq)
+    assert sess.frames_seen >= 8
+    t = sess.telemetry[0]
+    assert t.serial == "D1234567"
+    assert t.lat == pytest.approx(47.0, abs=1e-6)
+    assert t.lon == pytest.approx(8.5, abs=1e-6)
+    assert t.alt == pytest.approx(8000.0, abs=0.01)
+    assert t.spd == pytest.approx(12.0, abs=0.01)
+    assert t.temp == pytest.approx(-20.0, abs=0.05)
+    assert np.isnan(t.rh) or t.rh == 0.0  # no RH on DFM (README.md:12)
+
+
+def test_m10_end_to_end():
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    truths = [M10Truth(frame_no=5 + i) for i in range(8)]
+    iq = mod.modulate(truths)
+    sess = _run("m10", iq)
+    assert sess.frames_seen >= 5
+    t = sess.telemetry[0]
+    assert t.serial == "ME10A00001"
+    assert t.lat == pytest.approx(52.2, abs=1e-5)
+    assert t.alt == pytest.approx(15000.0, abs=0.02)
+    assert t.temp == pytest.approx(-55.0, abs=0.02)
+    assert t.rh == pytest.approx(12.0, abs=0.02)
+    assert t.climb == pytest.approx(5.0, abs=0.02)
+
+
+def test_ims100_end_to_end():
+    from sondetpu.sondes.ims100 import IMS100Modulator, IMS100Truth
+
+    mod = IMS100Modulator()
+    truths = [IMS100Truth(frame_no=3 + i) for i in range(10)]
+    iq = mod.modulate(truths)
+    sess = _run("ims100", iq)
+    assert sess.frames_seen >= 6
+    t = sess.telemetry[0]
+    assert t.serial == "IMS10001"
+    assert t.lat == pytest.approx(35.7, abs=1e-6)
+    assert t.temp == pytest.approx(-60.0, abs=0.02)
+    assert t.rh == pytest.approx(8.0, abs=0.02)
+
+
+def test_imet4_end_to_end():
+    from sondetpu.sondes.imet4 import IMET4Modulator, IMET4Truth
+
+    mod = IMET4Modulator()
+    truths = [IMET4Truth(frame_no=1 + i) for i in range(8)]
+    iq = mod.modulate(truths)
+    sess = _run("imet4", iq)
+    assert sess.frames_seen >= 5
+    t = sess.telemetry[0]
+    assert t.serial == "IMET4001"
+    assert t.lat == pytest.approx(40.0, abs=1e-5)
+    assert t.pressure == pytest.approx(40.0, abs=0.1)   # real pressure sensor
+    assert t.aux_data == "O3=3.20mPa"                    # ozone XDATA
+
+
+def test_c50_end_to_end():
+    from sondetpu.sondes.c50 import C50Modulator, C50Truth
+
+    mod = C50Modulator()
+    truths = [C50Truth(frame_no=1 + i) for i in range(12)]
+    iq = mod.modulate(truths)
+    sess = _run("c50", iq)
+    assert sess.frames_seen >= 8
+    t = sess.telemetry[0]
+    assert t.serial == "C50-12345"
+    assert t.lat == pytest.approx(46.8, abs=1e-5)
+    assert t.temp == pytest.approx(-15.0, abs=0.02)
+
+
+def test_mrzn1_end_to_end():
+    from sondetpu.sondes.mrzn1 import MRZN1Modulator, MRZN1Truth
+
+    mod = MRZN1Modulator()
+    truths = [MRZN1Truth(frame_no=1 + i) for i in range(10)]
+    iq = mod.modulate(truths)
+    sess = _run("mrzn1", iq)
+    assert sess.frames_seen >= 7
+    t = sess.telemetry[0]
+    assert t.serial == "MRZ-042"
+    assert t.lat == pytest.approx(55.8, abs=1e-5)
+    assert t.temp == pytest.approx(-35.0, abs=0.02)
+    assert t.spd == pytest.approx(np.hypot(6.0, 2.0), abs=0.02)
+
+
+def test_m10_noisy():
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    iq = mod.modulate([M10Truth(frame_no=i) for i in range(8)])
+    sess = _run("m10", iq, snr_db=15.0)
+    assert sess.frames_seen >= 4
+
+
+def test_dfm_noisy():
+    from sondetpu.sondes.dfm import DFMModulator, DFMTruth
+
+    mod = DFMModulator()
+    iq = mod.modulate([DFMTruth(frame_no=i) for i in range(10)])
+    sess = _run("dfm", iq, snr_db=12.0)
+    assert sess.frames_seen >= 6
