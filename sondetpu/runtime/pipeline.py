@@ -43,6 +43,7 @@ class PipelineConfig:
     sync_threshold: float = 0.6    # normalized correlation acceptance
     ntaps: int = 41                # matched/lowpass filter taps
     dc_block: bool = True          # remove residual carrier offset per block
+    use_pallas: bool = False       # fused Pallas kernels for demod+FIR, corr
 
     def __post_init__(self):
         spec = get_sonde(self.sonde)["spec"]
@@ -116,6 +117,7 @@ class Pipeline:
         self._afsk = spec.modulation == "afsk"
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
+        self._pallas = bool(c.use_pallas) and not self._afsk and c.channels % 8 == 0
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     # -- state -------------------------------------------------------------
@@ -188,30 +190,43 @@ class Pipeline:
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
         sps = c.sps
-
-        # L2: FM quadrature discriminator on I/Q planes (ref main.cpp:57):
-        # d = x[n] * conj(x[n-1]); audio = atan2(im(d), re(d)) * fs/(2*pi*dev)
-        pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]], axis=-1)
-        pq_ = jnp.concatenate([state.fm_prev[:, 1:2], iq_q[:, :-1]], axis=-1)
-        dre = iq_i * pi_ + iq_q * pq_
-        dim = iq_q * pi_ - iq_i * pq_
-        audio = jnp.arctan2(dim, dre) * (self._fs / (2.0 * jnp.pi * self._dev))
+        scale = self._fs / (2.0 * jnp.pi * self._dev)
+        n = iq_i.shape[-1]
         fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
 
-        if c.dc_block:
-            audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
+        if self._pallas:
+            # fused FM demod + DC block + matched FIR in one VMEM pass
+            from sondetpu.pallas import fused_demod_fir_chunked
 
-        n = audio.shape[-1]
-        if self._afsk:
-            # AFSK front end: dual-tone quadrature discriminator (S5/S6)
-            filt, fir_state, aux_state = self._afsk_frontend(state, audio)
-        else:
-            # matched/channel filter with overlap-save carry (SURVEY.md S0)
-            xp = jnp.concatenate([state.fir.tail, audio], axis=-1)
             ntaps = self._taps.shape[0]
-            filt = _apply_windows(xp, self._taps)
-            fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
+            filt, new_tail, _ = fused_demod_fir_chunked(
+                iq_i, iq_q, state.fm_prev, state.fir.tail,
+                self._taps[None, :].astype(np.float32),
+                np.asarray([[scale]], np.float32),
+                ntaps=ntaps, dc_block=c.dc_block)
+            fir_state = FIRState(tail=new_tail)
             aux_state = ()
+        else:
+            # L2: FM quadrature discriminator on I/Q planes (ref main.cpp:57):
+            # d = x[n]*conj(x[n-1]); audio = atan2(im(d), re(d)) * fs/(2*pi*dev)
+            pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]], axis=-1)
+            pq_ = jnp.concatenate([state.fm_prev[:, 1:2], iq_q[:, :-1]], axis=-1)
+            dre = iq_i * pi_ + iq_q * pq_
+            dim = iq_q * pi_ - iq_i * pq_
+            audio = jnp.arctan2(dim, dre) * scale
+            if c.dc_block:
+                audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
+
+            if self._afsk:
+                # AFSK front end: dual-tone quadrature discriminator (S5/S6)
+                filt, fir_state, aux_state = self._afsk_frontend(state, audio)
+            else:
+                # matched/channel filter with overlap-save carry (SURVEY.md S0)
+                xp = jnp.concatenate([state.fir.tail, audio], axis=-1)
+                ntaps = self._taps.shape[0]
+                filt = _apply_windows(xp, self._taps)
+                fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
+                aux_state = ()
 
         # symbol timing: feed-forward estimate + slew-limited NCO carry
         tau = oerder_meyr_tau(filt, sps)
@@ -238,7 +253,12 @@ class Pipeline:
         buf_fill = jnp.minimum(state.buf_fill + nvalid, c.buf_len)
 
         # frame sync: correlate + peak pick + gather (SURVEY.md S0)
-        corr = correlate_syncword(chipbuf, self._template)
+        if self._pallas:
+            from sondetpu.pallas import corr_kernel
+
+            corr = corr_kernel(chipbuf, self._template[None, :].astype(np.float32))
+        else:
+            corr = correlate_syncword(chipbuf, self._template)
         if c.spec.extra.get("abs_corr"):
             # biphase-M is polarity-ambiguous: match either polarity
             corr = jnp.abs(corr)

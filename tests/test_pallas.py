@@ -1,0 +1,82 @@
+"""Pallas kernel equivalence tests (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sondetpu.dsp.fir import _apply_windows, design_lowpass
+from sondetpu.pallas import corr_kernel, fused_demod_fir
+from sondetpu.sync.correlator import correlate_syncword
+
+
+def test_fused_demod_fir_matches_jnp():
+    rng = np.random.default_rng(0)
+    C, N, ntaps = 8, 4800, 41
+    fs, dev = 48000.0, 2400.0
+    i = rng.normal(size=(C, N)).astype(np.float32)
+    q = rng.normal(size=(C, N)).astype(np.float32)
+    prev = rng.normal(size=(C, 2)).astype(np.float32)
+    atail = rng.normal(size=(C, ntaps - 1)).astype(np.float32)
+    taps = design_lowpass(2640.0, fs, ntaps)
+    scale = np.float32(fs / (2 * np.pi * dev))
+
+    # jnp reference (same math as runtime/pipeline.py)
+    ip = np.concatenate([prev[:, 0:1], i[:, :-1]], axis=-1)
+    qp = np.concatenate([prev[:, 1:2], q[:, :-1]], axis=-1)
+    audio = np.arctan2(q * ip - i * qp, i * ip + q * qp) * scale
+    audio = audio - audio.mean(axis=-1, keepdims=True)
+    want = np.asarray(_apply_windows(
+        jnp.asarray(np.concatenate([atail, audio], axis=-1)), jnp.asarray(taps)))
+
+    got, got_tail = fused_demod_fir(
+        jnp.asarray(i), jnp.asarray(q), jnp.asarray(prev), jnp.asarray(atail),
+        jnp.asarray(taps[None, :]), jnp.asarray([[scale]]),
+        ntaps=ntaps, dc_block=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_tail), audio[:, -(ntaps - 1):],
+                               atol=2e-4)
+
+
+def test_pallas_pipeline_end_to_end():
+    """Full RS41 decode with use_pallas=True (interpret on CPU) matches the
+    jnp path's telemetry."""
+    from sondetpu.runtime.pipeline import PipelineConfig
+    from sondetpu.runtime.session import DecoderSession
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+    import sondetpu.pallas.frontend as fe
+    import sondetpu.pallas.corr as ck
+    import functools
+    import jax
+
+    mod = RS41Modulator()
+    iq = mod.modulate([RS41Truth(frame_no=30 + i) for i in range(4)])[None, :]
+    iq = np.tile(iq, (8, 1))
+
+    # force interpret mode inside the pipeline (no TPU in unit tests)
+    orig_fe, orig_ck = fe.fused_demod_fir, ck.corr_kernel
+    import sondetpu.pallas as pk
+    pk.fused_demod_fir = functools.partial(orig_fe.__wrapped__, interpret=True)
+    pk.corr_kernel = functools.partial(orig_ck.__wrapped__, interpret=True)
+    try:
+        cfg = PipelineConfig(sonde="rs41", channels=8, block_len=48000,
+                             use_pallas=True)
+        sess = DecoderSession(cfg)
+        n = iq.shape[1]
+        for i in range(0, n - 48000 + 1, 48000):
+            sess.process_block(iq[:, i:i + 48000])
+        assert sess.frames_seen >= 8 * 2
+        assert sess.telemetry[0].serial == "S1234567"
+    finally:
+        pk.fused_demod_fir = orig_fe
+        pk.corr_kernel = orig_ck
+
+
+def test_corr_kernel_matches_jnp():
+    rng = np.random.default_rng(1)
+    C, BUF, L = 8, 2048, 64
+    buf = rng.choice([-1.0, 1.0], size=(C, BUF)).astype(np.float32)
+    tmpl = rng.choice([-1.0, 1.0], size=L).astype(np.float32)
+    want = np.asarray(correlate_syncword(jnp.asarray(buf), jnp.asarray(tmpl)))
+    got = np.asarray(corr_kernel(jnp.asarray(buf), jnp.asarray(tmpl[None, :]),
+                                 interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
