@@ -118,6 +118,8 @@ class Pipeline:
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
         self._pallas = bool(c.use_pallas) and not self._afsk and c.channels % 8 == 0
+        # compiled Pallas needs a TPU; CPU (unit tests) runs interpret mode
+        self._pallas_interpret = jax.default_backend() == "cpu"
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     # -- state -------------------------------------------------------------
@@ -203,7 +205,8 @@ class Pipeline:
                 iq_i, iq_q, state.fm_prev, state.fir.tail,
                 self._taps[None, :].astype(np.float32),
                 np.asarray([[scale]], np.float32),
-                ntaps=ntaps, dc_block=c.dc_block)
+                ntaps=ntaps, dc_block=c.dc_block,
+                interpret=self._pallas_interpret)
             fir_state = FIRState(tail=new_tail)
             aux_state = ()
         else:
@@ -256,7 +259,8 @@ class Pipeline:
         if self._pallas:
             from sondetpu.pallas import corr_kernel
 
-            corr = corr_kernel(chipbuf, self._template[None, :].astype(np.float32))
+            corr = corr_kernel(chipbuf, self._template[None, :].astype(np.float32),
+                               interpret=self._pallas_interpret)
         else:
             corr = correlate_syncword(chipbuf, self._template)
         if c.spec.extra.get("abs_corr"):

@@ -43,32 +43,20 @@ def test_pallas_pipeline_end_to_end():
     from sondetpu.runtime.pipeline import PipelineConfig
     from sondetpu.runtime.session import DecoderSession
     from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
-    import sondetpu.pallas.frontend as fe
-    import sondetpu.pallas.corr as ck
-    import functools
-    import jax
 
     mod = RS41Modulator()
     iq = mod.modulate([RS41Truth(frame_no=30 + i) for i in range(4)])[None, :]
     iq = np.tile(iq, (8, 1))
 
-    # force interpret mode inside the pipeline (no TPU in unit tests)
-    orig_fe, orig_ck = fe.fused_demod_fir, ck.corr_kernel
-    import sondetpu.pallas as pk
-    pk.fused_demod_fir = functools.partial(orig_fe.__wrapped__, interpret=True)
-    pk.corr_kernel = functools.partial(orig_ck.__wrapped__, interpret=True)
-    try:
-        cfg = PipelineConfig(sonde="rs41", channels=8, block_len=48000,
-                             use_pallas=True)
-        sess = DecoderSession(cfg)
-        n = iq.shape[1]
-        for i in range(0, n - 48000 + 1, 48000):
-            sess.process_block(iq[:, i:i + 48000])
-        assert sess.frames_seen >= 8 * 2
-        assert sess.telemetry[0].serial == "S1234567"
-    finally:
-        pk.fused_demod_fir = orig_fe
-        pk.corr_kernel = orig_ck
+    # the pipeline auto-selects interpret mode on the CPU test backend
+    cfg = PipelineConfig(sonde="rs41", channels=8, block_len=48000,
+                         use_pallas=True)
+    sess = DecoderSession(cfg)
+    n = iq.shape[1]
+    for i in range(0, n - 48000 + 1, 48000):
+        sess.process_block(iq[:, i:i + 48000])
+    assert sess.frames_seen >= 8 * 2
+    assert sess.telemetry[0].serial == "S1234567"
 
 
 def test_corr_kernel_matches_jnp():
