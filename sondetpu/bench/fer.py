@@ -1,0 +1,64 @@
+"""Frame-error-rate vs SNR harness (SURVEY.md §4 item 3).
+
+The acceptance gate BASELINE.json:5 phrases as "frame-error rate matching
+the CPU reference at 10 dB SNR": synthesize known frames per sonde type,
+add calibrated complex AWGN, run the full pipeline, and count decoded
+frames. SNR here is total-signal-power over noise-power in the full channel
+bandwidth (signal is constant-envelope FSK at unit amplitude).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from sondetpu.runtime.pipeline import PipelineConfig
+from sondetpu.runtime.session import DecoderSession
+from sondetpu.sondes import get_sonde
+from sondetpu.sondes.modulate import add_awgn
+
+
+def _make_truths(sonde: str, n: int):
+    mod = __import__(f"sondetpu.sondes.{sonde}", fromlist=["x"])
+    cls = next(getattr(mod, a) for a in dir(mod) if a.endswith("Truth"))
+    out = []
+    for i in range(n):
+        t = cls()
+        if hasattr(t, "frame_no"):
+            t.frame_no = 100 + i
+        out.append(t)
+    return out
+
+
+def fer_sweep(sonde: str, snrs_db: Sequence[float], n_frames: int = 20,
+              fs: float = 48000.0, block_len: int = 48000, seed: int = 0,
+              channels: int = 1) -> Dict:
+    """Returns {"sonde", "n_frames", "points": [{snr_db, decoded, fer}]}."""
+    modcls = get_sonde(sonde)["modulator"]
+    mod = modcls()
+    truths = _make_truths(sonde, n_frames)
+    iq_clean = mod.modulate(truths, fs=fs)
+    pad = (-iq_clean.size) % block_len
+    iq_clean = np.pad(iq_clean, (0, pad))
+    spec = get_sonde(sonde)["spec"]
+    chips_per_block = int(block_len / fs * spec.baud)
+    max_frames = max(4, chips_per_block // spec.chips_per_frame + 2)
+
+    points: List[dict] = []
+    rng = np.random.default_rng(seed)
+    for snr in snrs_db:
+        iq = add_awgn(iq_clean, snr, rng=rng)
+        cfg = PipelineConfig(sonde=sonde, channels=channels,
+                             block_len=block_len, fs=fs,
+                             sync_threshold=0.55, max_frames=max_frames)
+        sess = DecoderSession(cfg)
+        total_decoded = 0
+        for i in range(0, iq.size - block_len + 1, block_len):
+            blk = np.tile(iq[None, i:i + block_len], (channels, 1))
+            sess.process_block(blk)
+        total_decoded = sess.metrics.frames_decoded / max(channels, 1)
+        fer = 1.0 - min(total_decoded / n_frames, 1.0)
+        points.append({"snr_db": snr, "decoded": total_decoded,
+                       "fer": round(fer, 4)})
+    return {"sonde": sonde, "n_frames": n_frames, "points": points}

@@ -1,0 +1,194 @@
+"""sondetpu command line: decode, synth, bench, fer, types.
+
+The headless framework entry point replacing the reference's GUI module
+(SURVEY.md C7: "CLI with rich terminal status table and/or JSON telemetry
+stream"). `decode` runs the streaming pipeline over an IQ file with
+GPX/PTU/JSONL sinks (the reference's three outputs, §5.5); `synth`
+generates golden IQ from any registered modulator (§4 item 1); `fer` runs
+the FER-vs-SNR acceptance sweep (§4 item 3); `bench` measures throughput.
+
+Usage examples:
+  python -m sondetpu.cli.main types
+  python -m sondetpu.cli.main synth --sonde rs41 --frames 6 --out /tmp/x.cf32
+  python -m sondetpu.cli.main decode --iq /tmp/x.cf32 --sonde rs41 \
+      --gpx /tmp/track.gpx --ptu /tmp/ptu.csv --jsonl -
+  python -m sondetpu.cli.main fer --sonde rs41 --snrs 5,8,10,15
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_types(args) -> int:
+    from sondetpu.sondes import SUPPORTED_TYPES, get_sonde
+
+    for name in SUPPORTED_TYPES:
+        spec = get_sonde(name)["spec"]
+        print(f"{name:8s} {spec.display_name:14s} bw={spec.bandwidth/1e3:.0f}kHz "
+              f"baud={spec.baud:.0f} mod={spec.modulation} "
+              f"frame={spec.frame_bytes}B")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from sondetpu.io import write_iq
+    from sondetpu.sondes import get_sonde
+    from sondetpu.sondes.modulate import add_awgn
+
+    modcls = get_sonde(args.sonde)["modulator"]
+    mod = modcls()
+    truth_cls = _truth_class(args.sonde)
+    truths = [truth_cls() for _ in range(args.frames)]
+    for i, t in enumerate(truths):
+        if hasattr(t, "frame_no"):
+            t.frame_no = args.first_frame + i
+    iq = mod.modulate(truths, fs=args.fs)
+    if args.snr is not None:
+        iq = add_awgn(iq, args.snr)
+    write_iq(args.out, iq, args.format)
+    print(f"wrote {iq.size} samples ({iq.size/args.fs:.2f}s) to {args.out}")
+    return 0
+
+
+def _truth_class(sonde: str):
+    mod = __import__(f"sondetpu.sondes.{sonde}", fromlist=["x"])
+    for name in dir(mod):
+        if name.endswith("Truth"):
+            return getattr(mod, name)
+    raise KeyError(f"no Truth class for {sonde}")
+
+
+def cmd_decode(args) -> int:
+    from sondetpu.cli.config import FrameworkConfig
+    from sondetpu.io import GPXWriter, JSONLWriter, PTUWriter
+    from sondetpu.io.iq import IQFileSource
+    from sondetpu.runtime.pipeline import PipelineConfig
+    from sondetpu.runtime.session import DecoderSession
+    from sondetpu.runtime import checkpoint as ckpt
+
+    cfg = FrameworkConfig.load(args.config) if args.config else FrameworkConfig()
+    if args.sonde:
+        cfg.sonde = args.sonde
+    if args.channels:
+        cfg.channels = args.channels
+
+    gpx = GPXWriter(args.gpx) if args.gpx else None
+    ptu = PTUWriter(args.ptu) if args.ptu else None
+    jsonl = JSONLWriter(args.jsonl) if args.jsonl else None
+
+    def on_update(ch, telem):
+        if gpx:
+            if telem.serial:
+                gpx.start_track(telem.serial)      # per-serial tracks (gpx.cpp:39)
+            gpx.add_track_point(telem.time, telem.lat, telem.lon, telem.alt,
+                                telem.spd, telem.hdg)
+        if ptu:
+            ptu.add_point(telem)
+        if jsonl:
+            jsonl.add_point(telem, channel=ch, sonde_type=cfg.sonde)
+
+    pcfg = PipelineConfig(sonde=cfg.sonde, channels=cfg.channels, fs=cfg.fs,
+                          block_len=cfg.block_len,
+                          sync_threshold=cfg.sync_threshold,
+                          use_pallas=cfg.use_pallas)
+    sess = DecoderSession(pcfg, on_update=on_update)
+    if args.resume:
+        ckpt.load_session(sess, args.resume)
+        print(f"resumed from {args.resume} at block {sess.blocks_seen}",
+              file=sys.stderr)
+
+    src = IQFileSource(args.iq, block_len=cfg.block_len, fmt=args.format)
+    for block, valid in src.blocks():
+        iq = np.tile(block[None, :], (cfg.channels, 1)) if cfg.channels > 1 \
+            else block[None, :]
+        sess.process_block(iq)
+        if args.status and sess.blocks_seen % args.status == 0:
+            print(sess.metrics.status_line(), file=sys.stderr)
+        if args.watchdog:
+            sess.watchdog(args.watchdog)
+    if args.checkpoint:
+        ckpt.save_session(sess, args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    for w in (gpx, ptu, jsonl):
+        if w:
+            w.deinit()
+    print(sess.metrics.json_line(), file=sys.stderr)
+    return 0
+
+
+def cmd_fer(args) -> int:
+    from sondetpu.bench.fer import fer_sweep
+
+    snrs = [float(s) for s in args.snrs.split(",")]
+    result = fer_sweep(args.sonde, snrs, n_frames=args.frames, seed=args.seed)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    import os
+
+    return subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "..",
+                                      "bench.py"), str(args.channels)])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sondetpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("types", help="list supported sonde types").set_defaults(fn=cmd_types)
+
+    ps = sub.add_parser("synth", help="synthesize golden IQ")
+    ps.add_argument("--sonde", default="rs41")
+    ps.add_argument("--frames", type=int, default=6)
+    ps.add_argument("--first-frame", type=int, default=100)
+    ps.add_argument("--fs", type=float, default=48000.0)
+    ps.add_argument("--snr", type=float, default=None)
+    ps.add_argument("--format", default="cf32", choices=["cf32", "cs16", "cs8"])
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_synth)
+
+    pd = sub.add_parser("decode", help="decode an IQ file")
+    pd.add_argument("--iq", required=True)
+    pd.add_argument("--format", default=None)
+    pd.add_argument("--sonde", default=None)
+    pd.add_argument("--channels", type=int, default=None)
+    pd.add_argument("--config", default=None)
+    pd.add_argument("--gpx", default=None)
+    pd.add_argument("--ptu", default=None)
+    pd.add_argument("--jsonl", default=None)
+    pd.add_argument("--status", type=int, default=0,
+                    help="print a status line every N blocks")
+    pd.add_argument("--watchdog", type=int, default=0,
+                    help="reset channels idle for N blocks")
+    pd.add_argument("--checkpoint", default=None, help="save state on exit")
+    pd.add_argument("--resume", default=None, help="restore state first")
+    pd.set_defaults(fn=cmd_decode)
+
+    pf = sub.add_parser("fer", help="frame-error-rate vs SNR sweep")
+    pf.add_argument("--sonde", default="rs41")
+    pf.add_argument("--snrs", default="0,2,4,6,8,10,12,15,20")
+    pf.add_argument("--frames", type=int, default=20)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.set_defaults(fn=cmd_fer)
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.add_argument("--channels", type=int, default=1024)
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -2,18 +2,24 @@
 
 Plays the role of the reference's decoder adapter + module glue
 (decoder.hpp:53-119 run loop and main.cpp:321-331 sondeDataHandler): pulls
-framed chips off the device, runs byte-level FEC/parse, merges fragments
+framed bytes off the device, runs byte-level FEC/parse, merges fragments
 into per-channel running telemetry, and fans out to sinks (GPX/PTU/JSONL).
+
+Also carries the aux-subsystem duties the reference lacks (SURVEY.md §5):
+metrics counters (§5.1/§5.5), per-channel failure detection + elastic
+recovery via the stale-channel watchdog (§5.3), and checkpoint/resume hooks
+(§5.4 via runtime/checkpoint.py).
 """
 
 from __future__ import annotations
 
+import time
 from dataclasses import replace
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
+from sondetpu.runtime.metrics import Metrics
 from sondetpu.runtime.pipeline import BlockOutput, Pipeline, PipelineConfig
 from sondetpu.sondes.base import get_sonde
 from sondetpu.telemetry import SondeTelemetry, TelemetryFragment
@@ -32,25 +38,50 @@ class DecoderSession:
         self.on_update = on_update
         self.frames_seen = 0
         self.blocks_seen = 0
+        self.metrics = Metrics(channels=config.channels, fs=config.fs)
+        self._last_update_block: Dict[int, int] = {}
 
     def reset_channel(self, channel: int) -> None:
         """Drop a channel's host state (elastic recovery, SURVEY.md §5.3);
-        device state re-syncs on the next frames by itself."""
+        device state re-syncs on the next frames by itself (syncword
+        re-acquisition is the protocol's own elasticity)."""
         self.decoder.reset_channel(channel)
         self.telemetry.pop(channel, None)
+        self._last_update_block.pop(channel, None)
 
-    def process_block(self, iq: np.ndarray) -> List[Tuple[int, SondeTelemetry]]:
-        """iq: [channels, block_len] complex64. Returns telemetry updates."""
-        self.state, out = self.pipeline.step(self.state, jnp.asarray(iq))
+    def watchdog(self, max_idle_blocks: int) -> List[int]:
+        """Reset channels that produced no telemetry for max_idle_blocks.
+
+        Returns the channels reset. A channel whose sonde drifted away or
+        died keeps stale calibration/telemetry otherwise; this is the
+        framework's failure-detection hook (SURVEY.md §5.3)."""
+        stale = [ch for ch, blk in self._last_update_block.items()
+                 if self.blocks_seen - blk > max_idle_blocks]
+        for ch in stale:
+            self.reset_channel(ch)
+        return stale
+
+    def process_block(self, iq) -> List[Tuple[int, SondeTelemetry]]:
+        """iq: [channels, block_len] complex64 or (i, q) float32 planes.
+        Returns (channel, telemetry snapshot) updates."""
+        t0 = time.perf_counter()
+        self.state, out = self.pipeline.step(self.state, iq)
         self.blocks_seen += 1
-        return self._handle_output(out)
+        updates, frames_raw, decoded = self._handle_output(out)
+        soft_rms = np.asarray(out.soft_rms)
+        self.metrics.on_block(
+            n_samples_per_chan=self.config.block_len,
+            wall_seconds=time.perf_counter() - t0,
+            frames_raw=frames_raw, frames_decoded=decoded,
+            updates=len(updates), soft_rms=soft_rms)
+        return updates
 
-    def _handle_output(self, out: BlockOutput) -> List[Tuple[int, SondeTelemetry]]:
+    def _handle_output(self, out: BlockOutput):
         valid = np.asarray(out.frame_valid)
         if not valid.any():
-            return []
+            return [], 0, 0
         ch_idx, slot_idx = np.nonzero(valid)
-        frames = np.asarray(out.frames)[ch_idx, slot_idx]     # [n, frame_chips]
+        frames = np.asarray(out.frames)[ch_idx, slot_idx]     # [n, frame_bytes]
         self.frames_seen += frames.shape[0]
         # frames arrive as descrambled bytes (packed + de-whitened on device)
         frags = self.decoder.decode_byte_frames(frames, ch_idx)
@@ -58,9 +89,10 @@ class DecoderSession:
         for ch, frag in frags:
             telem = self.telemetry.setdefault(int(ch), SondeTelemetry())
             if telem.merge(frag):
+                self._last_update_block[int(ch)] = self.blocks_seen
                 # snapshot: the live object keeps mutating on later frames
                 snap = replace(telem)
                 updates.append((int(ch), snap))
                 if self.on_update:
                     self.on_update(int(ch), snap)
-        return updates
+        return updates, int(frames.shape[0]), len(frags)
