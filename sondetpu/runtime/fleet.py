@@ -1,0 +1,96 @@
+"""Mixed-fleet decoding: heterogeneous sonde types over one wideband input.
+
+BASELINE.json:11 ("Mixed-fleet wideband: 1000+ heterogeneous channels"):
+the reference handles multiple sondes by running one module instance per
+sonde, each with its own VFO and threads (main.cpp:23); here ONE PFB
+channelizer splits the wideband stream and channels are grouped by sonde
+type, each group advancing through its type's compiled pipeline as a
+batch. Each per-type step is an independent device program, so groups
+pipeline naturally on the device queue.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sondetpu.dsp.channelizer import PFBChannelizer
+from sondetpu.runtime.pipeline import PipelineConfig
+from sondetpu.runtime.session import DecoderSession
+from sondetpu.telemetry import SondeTelemetry
+
+
+@dataclass
+class FleetChannel:
+    """One logical channel: which PFB bin, which protocol."""
+
+    pfb_bin: int
+    sonde: str
+
+
+class FleetSession:
+    """Wideband IQ -> channelize -> per-type batched decode sessions."""
+
+    def __init__(self, channels: Sequence[FleetChannel], n_bins: int,
+                 fs_chan: float = 48000.0, block_len: int = 48000,
+                 sync_threshold: float = 0.55, use_pallas: bool = False,
+                 on_update=None):
+        self.channels = list(channels)
+        self.pfb = PFBChannelizer(n_bins)
+        self.pfb_state = self.pfb.init_state()
+        self.block_len = block_len
+        self.n_bins = n_bins
+        self.fs_chan = fs_chan
+
+        # group logical channels by sonde type; remember their PFB bins
+        groups: Dict[str, List[int]] = {}
+        for idx, ch in enumerate(self.channels):
+            groups.setdefault(ch.sonde, []).append(idx)
+        self.groups: Dict[str, Tuple[List[int], DecoderSession]] = {}
+        for sonde, idxs in groups.items():
+            cfg = PipelineConfig(sonde=sonde, channels=len(idxs),
+                                 fs=fs_chan, block_len=block_len,
+                                 sync_threshold=sync_threshold,
+                                 use_pallas=use_pallas)
+            sess = DecoderSession(cfg, on_update=self._wrap(sonde, idxs, on_update))
+            self.groups[sonde] = (idxs, sess)
+
+    def _wrap(self, sonde: str, idxs: List[int], on_update):
+        if on_update is None:
+            return None
+
+        def inner(local_ch: int, telem: SondeTelemetry):
+            on_update(idxs[local_ch], sonde, telem)
+
+        return inner
+
+    @property
+    def telemetry(self) -> Dict[int, SondeTelemetry]:
+        """Telemetry keyed by logical (fleet) channel index."""
+        out = {}
+        for sonde, (idxs, sess) in self.groups.items():
+            for local, t in sess.telemetry.items():
+                out[idxs[local]] = t
+        return out
+
+    def process_wideband(self, iq: np.ndarray) -> int:
+        """One wideband block [n_bins * block_len] complex64 (or plane
+        pair). Returns total telemetry updates."""
+        if isinstance(iq, tuple):
+            wi, wq = iq
+        else:
+            iq = np.asarray(iq)
+            wi = np.ascontiguousarray(iq.real.astype(np.float32))
+            wq = np.ascontiguousarray(iq.imag.astype(np.float32))
+        self.pfb_state, yi, yq = self.pfb(self.pfb_state, wi, wq)
+        yi = np.asarray(yi)
+        yq = np.asarray(yq)
+        updates = 0
+        for sonde, (idxs, sess) in self.groups.items():
+            bins = [self.channels[i].pfb_bin for i in idxs]
+            gi = np.ascontiguousarray(yi[bins])
+            gq = np.ascontiguousarray(yq[bins])
+            updates += len(sess.process_block((gi, gq)))
+        return updates

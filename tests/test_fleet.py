@@ -1,0 +1,70 @@
+"""Mixed-fleet wideband test (BASELINE.json:11): RS41 + M10 + DFM sondes in
+different PFB bins of one wideband stream, decoded concurrently."""
+
+import numpy as np
+import pytest
+
+from sondetpu.runtime.fleet import FleetChannel, FleetSession
+from sondetpu.sondes.modulate import freq_shift, gfsk_modulate
+
+
+def _narrowband_at_wideband(bits, chip_rate, dev, fs_wide, f_center, bt=0.5):
+    iq = gfsk_modulate(bits, fs_wide / chip_rate, dev / fs_wide, bt=bt)
+    return freq_shift(iq, f_center / fs_wide)
+
+
+def test_mixed_fleet_wideband():
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+    from sondetpu.sondes.dfm import DFMModulator, DFMTruth
+    from sondetpu.sync.coding import np_bytes_to_bits
+
+    n_bins = 8
+    fs_chan = 48000.0
+    fs_wide = n_bins * fs_chan
+
+    fleet = FleetSession(
+        channels=[FleetChannel(pfb_bin=1, sonde="rs41"),
+                  FleetChannel(pfb_bin=3, sonde="m10"),
+                  FleetChannel(pfb_bin=6, sonde="dfm")],
+        n_bins=n_bins)
+    centers = fleet.pfb.center_freqs(fs_wide)
+
+    rs41 = RS41Modulator()
+    rs41_bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=40 + i)) for i in range(3)]))
+    sig_rs41 = _narrowband_at_wideband(rs41_bits, 4800.0, 2400.0, fs_wide,
+                                       centers[1])
+
+    m10 = M10Modulator()
+    m10_chips = m10.frames_to_chips(np.stack(
+        [m10.build_frame(M10Truth(frame_no=8 + i)) for i in range(10)]))
+    sig_m10 = _narrowband_at_wideband(m10_chips, 9600.0, 12000.0, fs_wide,
+                                      centers[3], bt=0.7)
+
+    dfm = DFMModulator()
+    dfm_chips = dfm.frames_to_chips(np.stack(
+        [dfm.build_frame(DFMTruth(frame_no=2 + k), conf_channel=k % 3,
+                         dat_pair=((2 * k) % 6, (2 * k + 1) % 6))
+         for k in range(8)]))
+    sig_dfm = _narrowband_at_wideband(dfm_chips, 2500.0, 2500.0, fs_wide,
+                                      centers[6])
+
+    w = n_bins * 48000
+    n = max(sig_rs41.size, sig_m10.size, sig_dfm.size)
+    n = ((n + w - 1) // w) * w
+    wide = np.zeros(n, np.complex64)
+    wide[:sig_rs41.size] += sig_rs41
+    wide[:sig_m10.size] += sig_m10
+    wide[:sig_dfm.size] += sig_dfm
+
+    for i in range(0, n - w + 1, w):
+        fleet.process_wideband(wide[i:i + w])
+
+    telem = fleet.telemetry
+    assert 0 in telem and telem[0].serial == "S1234567"
+    assert 1 in telem and telem[1].serial == "ME10A00001"
+    assert 2 in telem and telem[2].serial == "D1234567"
+    assert telem[0].lat == pytest.approx(45.0, abs=1e-4)
+    assert telem[1].lat == pytest.approx(52.2, abs=1e-4)
+    assert telem[2].lat == pytest.approx(47.0, abs=1e-4)
