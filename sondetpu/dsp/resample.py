@@ -85,3 +85,50 @@ def rational_resample(x: jax.Array, up: int, down: int, taps: np.ndarray) -> jax
     sel = jnp.take(win, i, axis=1)             # [c, n_out, nph]
     coeffs = bank[p][:, ::-1]                  # [n_out, nph] reversed for convolution
     return jnp.einsum("cnj,nj->cn", sel, coeffs)
+
+
+class StreamingResampler:
+    """Stateful rational resampler: chunked output == unchunked output.
+
+    The streaming form of SDR++'s RationalResampler (reference main.cpp:60
+    resamples each channel's audio to 48 kHz continuously). Carries the
+    polyphase filter history and the fractional output phase across blocks.
+    Input blocks may be any length; output length varies per block
+    (floor-accumulated), so this host-facing utility returns NumPy arrays.
+    """
+
+    def __init__(self, fs_in: float, fs_out: float, channels: int,
+                 ntaps_per_phase: int = 8):
+        self.up, self.down, taps = make_rational_resampler(
+            fs_in, fs_out, ntaps_per_phase)
+        taps = np.asarray(taps, dtype=np.float32)
+        self.nph = -(-taps.size // self.up)
+        tp = np.zeros(self.up * self.nph, dtype=np.float32)
+        tp[: taps.size] = taps
+        self._bank = tp.reshape(self.nph, self.up).T   # [up, nph]
+        self.channels = channels
+        self._hist = np.zeros((channels, self.nph - 1), dtype=np.float32)
+        self._next_t = 0   # position of next output on the upsampled grid,
+                           # relative to the first unconsumed input sample
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        """x: [channels, n] float32 -> [channels, m] resampled block."""
+        x = np.asarray(x, dtype=np.float32)
+        n = x.shape[-1]
+        xp = np.concatenate([self._hist, x], axis=-1)
+        # outputs at upsampled positions t = next_t, next_t+down, ... while
+        # input index i = t // up < n
+        t = self._next_t + self.down * np.arange(
+            max(0, (n * self.up - self._next_t + self.down - 1) // self.down))
+        t = t[t < n * self.up]
+        i = t // self.up                     # input sample index in x
+        ph = t % self.up                     # polyphase phase
+        # window ends at xp index i + nph - 1 (i is index into x)
+        win = np.lib.stride_tricks.sliding_window_view(xp, self.nph, axis=-1)
+        sel = win[:, i, :]                   # [c, m, nph]
+        coeffs = self._bank[ph][:, ::-1]     # [m, nph]
+        y = np.einsum("cmj,mj->cm", sel, coeffs)
+        self._hist = xp[:, -(self.nph - 1):] if self.nph > 1 else self._hist
+        self._next_t = (t[-1] + self.down - n * self.up) if t.size else \
+            (self._next_t - n * self.up)
+        return y.astype(np.float32)

@@ -50,10 +50,31 @@ def _load_native():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float]
         lib.iq_cu8_to_cf32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float]
+        if hasattr(lib, "iq_c64_to_planes"):
+            lib.iq_c64_to_planes.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
         _native = lib
     except OSError:
         _native = False
     return _native
+
+
+def c64_to_planes(iq: np.ndarray):
+    """Split complex64 [..., n] into contiguous float32 (i, q) planes.
+
+    The host-side per-block hot path (every ingested block feeds the device
+    as planes); uses the C++ helper when built, NumPy otherwise.
+    """
+    iq = np.ascontiguousarray(iq, dtype=np.complex64)
+    lib = _load_native()
+    if lib and hasattr(lib, "iq_c64_to_planes"):
+        out_i = np.empty(iq.shape, dtype=np.float32)
+        out_q = np.empty(iq.shape, dtype=np.float32)
+        lib.iq_c64_to_planes(iq.ctypes.data, out_i.ctypes.data,
+                             out_q.ctypes.data, iq.size)
+        return out_i, out_q
+    return (np.ascontiguousarray(iq.real.astype(np.float32)),
+            np.ascontiguousarray(iq.imag.astype(np.float32)))
 
 
 def convert_to_c64(raw: np.ndarray, fmt: str) -> np.ndarray:

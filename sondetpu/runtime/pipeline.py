@@ -151,9 +151,9 @@ class Pipeline:
         if isinstance(iq, tuple):
             i, q = iq
         else:
-            iq = np.asarray(iq)
-            i = np.ascontiguousarray(iq.real.astype(np.float32))
-            q = np.ascontiguousarray(iq.imag.astype(np.float32))
+            from sondetpu.io.iq import c64_to_planes
+
+            i, q = c64_to_planes(np.asarray(iq))
         return self._step(state, i, q)
 
     def _afsk_frontend(self, state: PipelineState, audio: jax.Array):

@@ -101,3 +101,30 @@ def test_rational_resample_tone():
     core = y[0, 200:m - 200]
     lag = np.argmax(np.correlate(want, core, mode="valid"))
     np.testing.assert_allclose(core, want[lag:lag + core.size], atol=0.05)
+
+
+def test_streaming_resampler_chunked_equals_stateless():
+    from sondetpu.dsp.resample import StreamingResampler, make_rational_resampler
+
+    fs_in, fs_out = 20000.0, 48000.0
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 4000)).astype(np.float32)
+    up, down, taps = make_rational_resampler(fs_in, fs_out)
+    full = np.asarray(rational_resample(jnp.asarray(x), up, down, taps))
+
+    rs = StreamingResampler(fs_in, fs_out, channels=2)
+    outs = [rs.process(x[:, i:i + 500]) for i in range(0, 4000, 500)]
+    y = np.concatenate(outs, axis=1)
+    m = min(y.shape[1], full.shape[1])
+    np.testing.assert_allclose(y[:, :m], full[:, :m], atol=1e-4)
+
+
+def test_c64_to_planes_native():
+    from sondetpu.io.iq import c64_to_planes
+
+    rng = np.random.default_rng(8)
+    iq = (rng.normal(size=(3, 100)) + 1j * rng.normal(size=(3, 100))).astype(np.complex64)
+    i, q = c64_to_planes(iq)
+    np.testing.assert_array_equal(i, iq.real)
+    np.testing.assert_array_equal(q, iq.imag)
+    assert i.flags["C_CONTIGUOUS"] and i.dtype == np.float32
