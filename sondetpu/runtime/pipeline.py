@@ -82,6 +82,8 @@ class PipelineState(NamedTuple):
     # IQ is carried as float32 I/Q planes end to end: several PJRT backends
     # (including the tunneled TPU used here) cannot execute complex64
     # programs, and split planes map better onto the VPU anyway.
+    chan_tail_i: jax.Array  # [C, ntaps-1] pre-demod channel-filter carry (I)
+    chan_tail_q: jax.Array  # [C, ntaps-1] pre-demod channel-filter carry (Q)
     fm_prev: jax.Array      # [C, 2] float32: previous (I, Q) sample
     fir: FIRState
     timing: TimingState
@@ -111,6 +113,12 @@ class Pipeline:
         # back during tracing)
         nyq_cut = 0.55 * spec.baud
         self._taps = design_lowpass(nyq_cut, c.fs, c.ntaps)
+        # pre-demod channel filter at the sonde's bandwidth (the reference's
+        # VFO filters to spec bandwidth before the FM demod, main.cpp:55-57;
+        # without it the discriminator sees the full fs noise bandwidth and
+        # hits its threshold ~7 dB earlier)
+        self._chan_taps = design_lowpass(
+            min(spec.bandwidth / 2.0, 0.45 * c.fs), c.fs, c.ntaps)
         self._template = spec.sync_chip_template()
         self._fs = c.fs
         self._dev = spec.dev
@@ -134,6 +142,8 @@ class Pipeline:
             aux = tuple(np.zeros((c.channels, w), np.float32) for _ in range(4)) \
                 + (np.zeros((1,), np.int32),)
         return PipelineState(
+            chan_tail_i=np.zeros((c.channels, c.ntaps - 1), np.float32),
+            chan_tail_q=np.zeros((c.channels, c.ntaps - 1), np.float32),
             fm_prev=np.zeros((c.channels, 2), np.float32),
             fir=FIRState(tail=np.zeros((c.channels, c.ntaps - 1), np.float32)),
             timing=TimingState(pos=np.zeros((c.channels,), np.float32),
@@ -194,6 +204,15 @@ class Pipeline:
         sps = c.sps
         scale = self._fs / (2.0 * jnp.pi * self._dev)
         n = iq_i.shape[-1]
+
+        # pre-demod channel filter (reference VFO bandwidth, main.cpp:55-57)
+        xpi = jnp.concatenate([state.chan_tail_i, iq_i], axis=-1)
+        xpq = jnp.concatenate([state.chan_tail_q, iq_q], axis=-1)
+        new_ctail_i = xpi[:, -(c.ntaps - 1):]
+        new_ctail_q = xpq[:, -(c.ntaps - 1):]
+        iq_i = _apply_windows(xpi, self._chan_taps)
+        iq_q = _apply_windows(xpq, self._chan_taps)
+
         fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
 
         if self._pallas:
@@ -300,6 +319,7 @@ class Pipeline:
             frame_score=score,
             soft_rms=jnp.sqrt(jnp.mean(soft * soft, axis=-1)),
         )
-        new_state = PipelineState(fm_prev=fm_state, fir=fir_state, timing=timing_state,
+        new_state = PipelineState(chan_tail_i=new_ctail_i, chan_tail_q=new_ctail_q,
+                                  fm_prev=fm_state, fir=fir_state, timing=timing_state,
                                   chipbuf=chipbuf, buf_fill=buf_fill, aux=aux_state)
         return new_state, out
