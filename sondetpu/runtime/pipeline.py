@@ -65,8 +65,10 @@ class PipelineConfig:
 
     @property
     def chip_cap(self) -> int:
-        # symbol clock can emit one extra chip when the phase wraps
-        return self.chips_per_block + 1
+        # block_len is an integer number of symbols and the NCO phase stays
+        # in [0, sps), so every block emits EXACTLY chips_per_block chips —
+        # which makes the ring-buffer shift a static slice (no gather)
+        return self.chips_per_block
 
     @property
     def frame_chips(self) -> int:
@@ -199,6 +201,36 @@ class Pipeline:
         aux = tuple(new_tails) + (((count + n) % int(L))[None].astype(jnp.int32),)
         return soft, state.fir, aux
 
+    def _sample_symbols(self, filt: jax.Array, start: jax.Array, sps: float,
+                        cpb: int) -> jax.Array:
+        """Linear-interpolate symbol centers at start + k*sps, k < cpb.
+
+        Integer sps (most families): the fractional part of the position is
+        constant per channel, so sampling is a per-channel weighted sum of
+        sps+1 STRIDED slices — no gather, which is the single most expensive
+        op in the naive formulation on TPU. Non-integer sps falls back to a
+        take_along_axis gather.
+        """
+        n = filt.shape[-1]
+        if float(sps).is_integer():
+            isps = int(sps)
+            s0 = jnp.floor(start).astype(jnp.int32)        # [C] in [0, sps)
+            frac = (start - s0.astype(jnp.float32))[:, None]
+            fp = jnp.pad(filt, ((0, 0), (0, isps + 1)), mode="edge")
+            soft = jnp.zeros((filt.shape[0], cpb), filt.dtype)
+            for j in range(isps + 1):
+                w = jnp.where(s0 == j, 1.0 - frac[:, 0],
+                              jnp.where(s0 + 1 == j, frac[:, 0], 0.0))[:, None]
+                soft = soft + w * fp[:, j: j + isps * cpb: isps][:, :cpb]
+            return soft
+        k = jnp.arange(cpb, dtype=jnp.float32)
+        pos = start[:, None] + k[None, :] * sps
+        p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+        frac = jnp.clip(pos - p0.astype(jnp.float32), 0.0, 1.0)
+        a = jnp.take_along_axis(filt, p0, axis=-1)
+        b = jnp.take_along_axis(filt, p0 + 1, axis=-1)
+        return a + (b - a) * frac
+
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
         sps = c.sps
@@ -256,23 +288,17 @@ class Pipeline:
         corrected = state.timing.pos + jnp.clip(err, -0.5, 0.5)
         start = jnp.where(state.timing.locked > 0, corrected, tau)
         start = jnp.mod(start, sps)
-        k = jnp.arange(c.chip_cap, dtype=jnp.float32)
-        pos = start[:, None] + k[None, :] * sps
-        chip_valid = pos < n
-        p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
-        frac = jnp.clip(pos - p0.astype(jnp.float32), 0.0, 1.0)
-        a = jnp.take_along_axis(filt, p0, axis=-1)
-        b = jnp.take_along_axis(filt, p0 + 1, axis=-1)
-        soft = jnp.where(chip_valid, a + (b - a) * frac, 0.0)
-        nvalid = jnp.sum(chip_valid, axis=-1).astype(jnp.int32)
-        next_pos = start + nvalid.astype(jnp.float32) * sps - n
+        cpb = c.chips_per_block
+        # exactly cpb chips fit (start in [0, sps), block % sps == 0)
+        next_pos = start + cpb * sps - n
         timing_state = TimingState(pos=next_pos, locked=jnp.ones_like(state.timing.locked))
+        soft = self._sample_symbols(filt, start, sps, cpb)
 
-        # chip ring buffer: append nvalid new chips, keep last buf_len
-        ext = jnp.concatenate([state.chipbuf, soft], axis=-1)   # [C, buf+cap]
-        idx = jnp.arange(c.buf_len)[None, :] + nvalid[:, None]
-        chipbuf = jnp.take_along_axis(ext, idx, axis=-1)
-        buf_fill = jnp.minimum(state.buf_fill + nvalid, c.buf_len)
+        # chip ring buffer: constant cpb new chips -> static slice, no gather
+        ext = jnp.concatenate([state.chipbuf, soft], axis=-1)   # [C, buf+cpb]
+        chipbuf = ext[:, cpb:]
+        nvalid = cpb
+        buf_fill = jnp.minimum(state.buf_fill + cpb, c.buf_len)
 
         # frame sync: correlate + peak pick + gather (SURVEY.md S0)
         if self._pallas:
@@ -290,7 +316,7 @@ class Pipeline:
                                        c.max_frames, min_dist)
         frames_soft, fit = gather_frames(chipbuf, starts, ok, c.frame_chips)
         # dedup across blocks: only frames whose END lies in the new chips
-        is_new = (starts + c.frame_chips) > (c.buf_len - nvalid)[:, None]
+        is_new = (starts + c.frame_chips) > (c.buf_len - nvalid)
         # and whose start lies within real (filled) history
         in_hist = starts >= (c.buf_len - buf_fill)[:, None]
         frame_valid = fit & is_new & in_hist
