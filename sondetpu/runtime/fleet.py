@@ -24,10 +24,13 @@ from sondetpu.telemetry import SondeTelemetry
 
 @dataclass
 class FleetChannel:
-    """One logical channel: which PFB bin, which protocol."""
+    """One logical channel: which PFB bin, which protocol, and the fine
+    frequency offset below the PFB grid (the reference VFO's free tuning,
+    main.cpp:56)."""
 
     pfb_bin: int
     sonde: str
+    offset_hz: float = 0.0
 
 
 class FleetSession:
@@ -50,10 +53,12 @@ class FleetSession:
             groups.setdefault(ch.sonde, []).append(idx)
         self.groups: Dict[str, Tuple[List[int], DecoderSession]] = {}
         for sonde, idxs in groups.items():
+            offs = tuple(self.channels[i].offset_hz for i in idxs)
             cfg = PipelineConfig(sonde=sonde, channels=len(idxs),
                                  fs=fs_chan, block_len=block_len,
                                  sync_threshold=sync_threshold,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas,
+                                 fine_offsets=offs if any(offs) else None)
             sess = DecoderSession(cfg, on_update=self._wrap(sonde, idxs, on_update))
             self.groups[sonde] = (idxs, sess)
 

@@ -44,6 +44,10 @@ class PipelineConfig:
     ntaps: int = 41                # matched/lowpass filter taps
     dc_block: bool = True          # remove residual carrier offset per block
     use_pallas: bool = False       # fused Pallas kernels for demod+FIR, corr
+    # per-channel fine frequency offsets (Hz), length == channels: digital
+    # downconversion below the PFB grid — the analogue of the reference
+    # VFO's free tuning with 1 kHz snap (main.cpp:56). None = all on-grid.
+    fine_offsets: Optional[tuple] = None
 
     def __post_init__(self):
         spec = get_sonde(self.sonde)["spec"]
@@ -143,6 +147,8 @@ class Pipeline:
             w = self._afsk_win - 1
             aux = tuple(np.zeros((c.channels, w), np.float32) for _ in range(4)) \
                 + (np.zeros((1,), np.int32),)
+        if c.fine_offsets is not None:
+            aux = aux + (np.zeros((c.channels,), np.float32),)   # DDC phase
         return PipelineState(
             chan_tail_i=np.zeros((c.channels, c.ntaps - 1), np.float32),
             chan_tail_q=np.zeros((c.channels, c.ntaps - 1), np.float32),
@@ -236,6 +242,19 @@ class Pipeline:
         sps = c.sps
         scale = self._fs / (2.0 * jnp.pi * self._dev)
         n = iq_i.shape[-1]
+
+        if c.fine_offsets is not None:
+            # per-channel DDC: rotate by -2*pi*f_off*t (phase carried in aux
+            # slot -1 as a [C] float in cycles, wrapped each block)
+            f_norm = np.asarray(c.fine_offsets, np.float32)[:, None] / np.float32(self._fs)
+            phase0 = state.aux[-1][:, None]           # [C, 1] cycles
+            cyc = phase0 + f_norm * jnp.arange(n, dtype=jnp.float32)[None, :]
+            ang = -2.0 * jnp.pi * cyc
+            cosv, sinv = jnp.cos(ang), jnp.sin(ang)
+            iq_i, iq_q = (iq_i * cosv - iq_q * sinv, iq_i * sinv + iq_q * cosv)
+            ddc_phase = (jnp.mod(phase0[:, 0] + np.float32(n) * f_norm[:, 0], 1.0),)
+        else:
+            ddc_phase = ()
 
         # pre-demod channel filter (reference VFO bandwidth, main.cpp:55-57)
         xpi = jnp.concatenate([state.chan_tail_i, iq_i], axis=-1)
@@ -347,5 +366,6 @@ class Pipeline:
         )
         new_state = PipelineState(chan_tail_i=new_ctail_i, chan_tail_q=new_ctail_q,
                                   fm_prev=fm_state, fir=fir_state, timing=timing_state,
-                                  chipbuf=chipbuf, buf_fill=buf_fill, aux=aux_state)
+                                  chipbuf=chipbuf, buf_fill=buf_fill,
+                                  aux=tuple(aux_state) + ddc_phase)
         return new_state, out

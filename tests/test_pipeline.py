@@ -118,3 +118,26 @@ def test_rs41_survives_frequency_offset():
         sess.process_block(iq[:, i:i + cfg.block_len])
     assert sess.frames_seen >= 3
     assert sess.telemetry[0].serial == "S1234567"
+
+
+def test_rs41_fine_frequency_offset_ddc():
+    """A sonde 4 kHz off the channel center decodes when the per-channel
+    fine offset (DDC) is configured — the analogue of tuning the reference
+    VFO off the channel grid (main.cpp:56)."""
+    iq, _ = _make_iq(n_frames=4)
+    iq = np.stack([freq_shift(iq[0], 4000.0 / 48000.0)])
+    # without DDC the pre-demod channel filter clips the shifted spectrum
+    cfg0 = PipelineConfig(sonde="rs41", channels=1, block_len=48000)
+    sess0 = DecoderSession(cfg0)
+    for i in range(0, iq.shape[1] - 48000 + 1, 48000):
+        sess0.process_block(iq[:, i:i + 48000])
+    # with DDC it decodes cleanly
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000,
+                         fine_offsets=(4000.0,))
+    sess = DecoderSession(cfg)
+    for i in range(0, iq.shape[1] - 48000 + 1, 48000):
+        sess.process_block(iq[:, i:i + 48000])
+    assert sess.frames_seen >= 2
+    assert sess.telemetry[0].serial == "S1234567"
+    assert sess.frames_seen > sess0.metrics.frames_decoded or \
+        sess.metrics.frames_decoded >= sess0.metrics.frames_decoded
