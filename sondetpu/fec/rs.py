@@ -83,18 +83,53 @@ class ReedSolomon:
 
         # Syndromes S_i = r(alpha^(fcr+i)); r[j] has degree 254-j
         deg = np.arange(254, -1, -1)
-        alphas = gf.exp[np.arange(nr) + self.fcr]                    # [nr]
         expo = (deg[None, :] * (np.arange(nr)[:, None] + self.fcr)) % 255
-        Smat = gf.exp[expo]                                          # [nr, 255]
         nz = cw != 0
         logs = gf.log[cw]
-        # S[b, i] = xor_j cw[b,j] * alpha^{(fcr+i) deg_j}
+
+        # Gate on the first 4 syndromes: an error pattern zeroing all four
+        # has probability ~2^-32, and the per-block CRC16 layer above the RS
+        # code catches any escape — so clean-looking frames skip the other
+        # 20 syndrome sums AND the BM/Chien/Forney machinery entirely.
+        gate = min(4, nr)
+        Sg = np.zeros((batch, gate), dtype=np.int32)
+        for i in range(gate):
+            term = np.where(nz, gf.exp[(logs + expo[i][None, :]) % 255], 0)
+            Sg[:, i] = np.bitwise_xor.reduce(term, axis=1)
+        maybe_err = Sg.any(axis=1)
+        if not maybe_err.any():
+            return (recv.astype(np.uint8), np.zeros(batch, np.int64),
+                    np.ones(batch, bool))
+        if not maybe_err.all():
+            # run the expensive path only on the suspect subset
+            corr_d, nerr_d, ok_d = self.decode(recv[maybe_err].astype(np.uint8))
+            corrected = recv.astype(np.uint8).copy()
+            corrected[maybe_err] = corr_d
+            nerr = np.zeros(batch, np.int64)
+            nerr[maybe_err] = nerr_d
+            ok = np.ones(batch, bool)
+            ok[maybe_err] = ok_d
+            return corrected, nerr, ok
+
+        # full syndromes (every frame in this (sub)batch is suspect)
         S = np.zeros((batch, nr), dtype=np.int32)
-        for i in range(nr):
+        S[:, :gate] = Sg
+        for i in range(gate, nr):
             term = np.where(nz, gf.exp[(logs + expo[i][None, :]) % 255], 0)
             S[:, i] = np.bitwise_xor.reduce(term, axis=1)
 
         no_err = ~S.any(axis=1)
+        if no_err.any():
+            # run the expensive machinery only on the erroneous subset
+            dirty = ~no_err
+            corr_d, nerr_d, ok_d = self.decode(recv[dirty].astype(np.uint8))
+            corrected = recv.astype(np.uint8).copy()
+            corrected[dirty] = corr_d
+            nerr = np.zeros(batch, np.int64)
+            nerr[dirty] = nerr_d
+            ok = np.ones(batch, bool)
+            ok[dirty] = ok_d
+            return corrected, nerr, ok
 
         # Berlekamp-Massey, fixed 2t iterations, batch-conditional
         C = np.zeros((batch, nr + 1), dtype=np.int32); C[:, 0] = 1

@@ -206,28 +206,36 @@ class RS41Decoder(SondeDecoderBase):
         """frames: [n, 320] descrambled bytes; returns (channel, fragment)."""
         frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
         corrected, _, rs_ok = rs_decode_frames(frames)
+        # batch-verify every block's header + CRC across all frames at once
+        # (per-frame python CRC was the parse hot spot at 1000+ channels)
+        blk_ok = {}
+        for typ, pos, dlen in _BLOCK_OFFSETS:
+            hdr = (corrected[:, pos] == typ) & (corrected[:, pos + 1] == dlen)
+            data = corrected[:, pos + 2: pos + 2 + dlen]
+            want = (corrected[:, pos + 2 + dlen].astype(np.uint16)
+                    | (corrected[:, pos + 3 + dlen].astype(np.uint16) << 8))
+            blk_ok[typ] = hdr & (crc16_ccitt_batch(data) == want)
         out: List[Tuple[int, TelemetryFragment]] = []
         for fi in range(corrected.shape[0]):
             if not rs_ok[fi]:
                 continue
             ch = int(np.asarray(channels)[fi])
-            frag = self._parse_frame(corrected[fi], ch)
+            frag = self._parse_frame(corrected[fi], ch,
+                                     {t: bool(v[fi]) for t, v in blk_ok.items()})
             if frag is not None:
                 out.append((ch, frag))
         return out
 
-    def _parse_frame(self, frame: np.ndarray, ch: int) -> Optional[TelemetryFragment]:
+    def _parse_frame(self, frame: np.ndarray, ch: int,
+                     blk_ok: Dict[int, bool]) -> Optional[TelemetryFragment]:
         frag = TelemetryFragment()
         cal = self._cal.setdefault(ch, _ChannelCal())
         got_any = False
         meas = None
         for typ, pos, dlen in _BLOCK_OFFSETS:
-            if frame[pos] != typ or frame[pos + 1] != dlen:
+            if not blk_ok.get(typ, False):
                 continue
             data = frame[pos + 2: pos + 2 + dlen]
-            crc = struct.unpack("<H", frame[pos + 2 + dlen: pos + 4 + dlen].tobytes())[0]
-            if crc != crc16_ccitt(data.tobytes()):
-                continue
             got_any = True
             if typ == BLK_STATUS:
                 self._parse_status(data, frag, cal)
