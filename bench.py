@@ -26,7 +26,6 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
     from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth

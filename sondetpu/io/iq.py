@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import struct
 import wave
 from typing import Iterator, Optional
 

@@ -15,8 +15,6 @@ consumed only by this framework; treat checkpoint files as trusted input).
 from __future__ import annotations
 
 import pickle
-from typing import TYPE_CHECKING
-
 import numpy as np
 import jax
 

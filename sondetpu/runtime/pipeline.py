@@ -16,7 +16,6 @@ asserts.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple, Optional
 
 import numpy as np

@@ -22,7 +22,7 @@ import numpy as np
 from sondetpu.runtime.metrics import Metrics
 from sondetpu.runtime.pipeline import BlockOutput, Pipeline, PipelineConfig
 from sondetpu.sondes.base import get_sonde
-from sondetpu.telemetry import SondeTelemetry, TelemetryFragment
+from sondetpu.telemetry import SondeTelemetry
 
 
 class DecoderSession:

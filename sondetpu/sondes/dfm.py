@@ -38,7 +38,7 @@ import numpy as np
 from sondetpu.fec.hamming import hamming84_decode, hamming84_encode
 from sondetpu.sondes.base import ProtocolSpec, SondeDecoderBase, register_sonde
 from sondetpu.sondes.modulate import gfsk_modulate
-from sondetpu.sync.coding import np_bits_to_bytes, np_bytes_to_bits
+from sondetpu.sync.coding import np_bytes_to_bits
 from sondetpu.telemetry import Fields, TelemetryFragment
 
 CHIP_RATE = 2500.0            # on-air Manchester chip rate (BASELINE.json:9)

@@ -11,8 +11,6 @@ every shape static for XLA.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

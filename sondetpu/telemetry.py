@@ -15,9 +15,7 @@ reference does (decoder.hpp:91-110,132-174).
 from __future__ import annotations
 
 import enum
-import math
-from dataclasses import dataclass, field, asdict
-from typing import Optional
+from dataclasses import asdict, dataclass
 
 from sondetpu.physics import dewpt, altitude_to_pressure
 
