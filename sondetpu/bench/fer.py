@@ -20,7 +20,10 @@ from sondetpu.sondes.modulate import add_awgn
 
 
 def _make_truths(sonde: str, n: int):
-    mod = __import__(f"sondetpu.sondes.{sonde}", fromlist=["x"])
+    import sys
+
+    modcls = get_sonde(sonde)["modulator"]
+    mod = sys.modules[modcls.__module__]
     cls = next(getattr(mod, a) for a in dir(mod) if a.endswith("Truth"))
     out = []
     for i in range(n):

@@ -56,7 +56,13 @@ def cmd_synth(args) -> int:
 
 
 def _truth_class(sonde: str):
-    mod = __import__(f"sondetpu.sondes.{sonde}", fromlist=["x"])
+    import sys
+    from sondetpu.sondes import get_sonde
+
+    # the Truth class lives in the module that registered the modulator
+    # (sonde names and module names differ for variants like rs41x)
+    modcls = get_sonde(sonde)["modulator"]
+    mod = sys.modules[modcls.__module__]
     for name in dir(mod):
         if name.endswith("Truth"):
             return getattr(mod, name)

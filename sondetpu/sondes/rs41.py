@@ -61,8 +61,10 @@ from sondetpu.telemetry import Fields, TelemetryFragment
 # ---------------------------------------------------------------------------
 
 BAUD = 4800.0
-FRAME_BYTES = 320
+FRAME_BYTES = 320          # standard frame (frame type byte 0x0F)
+FRAME_BYTES_EXT = 518      # extended frame with long XDATA (type 0xF0)
 DATA_START = 0x38
+FRAME_TYPE_STD, FRAME_TYPE_EXT = 0x0F, 0xF0
 SYNCWORD = bytes([0x10, 0xB6, 0xCA, 0x11, 0x22, 0x96, 0x12, 0xF8])
 
 # 64-byte whitening PRN (public RS41 constant)
@@ -78,7 +80,12 @@ WHITENING_MASK = np.array([
 ], dtype=np.uint8)
 
 RS_CODEC = ReedSolomon(nroots=24, fcr=0, prim_poly=0x11D)
-N_RS_DATA = (FRAME_BYTES - DATA_START) // 2       # 132 symbols per codeword
+
+
+def _n_rs_data(frame_len: int) -> int:
+    """RS data symbols per interleaved codeword: 132 for the 320-byte frame
+    (shortened) and 231 for the 518-byte extended frame (full-length)."""
+    return (frame_len - DATA_START) // 2
 
 CALIB_PAGES = 51
 CALIB_BYTES = CALIB_PAGES * 16
@@ -93,6 +100,9 @@ _BLOCK_PLAN = [  # (type, data_len) in transmit order; offsets derived
     (BLK_STATUS, 0x28), (BLK_MEAS, 0x2A), (BLK_GPSINFO, 0x1E),
     (BLK_GPSRAW, 0x59), (BLK_GPSPOS, 0x15), (BLK_XDATA, 0x11),
 ]
+# extended frame: identical through GPSPOS, then one long XDATA block that
+# fills the remaining 518 - 0x12B - 4 = 215 bytes
+_BLOCK_PLAN_EXT = _BLOCK_PLAN[:-1] + [(BLK_XDATA, 0xD7)]
 
 SPEC = ProtocolSpec(
     name="rs41",
@@ -110,17 +120,26 @@ SPEC = ProtocolSpec(
 )
 
 
-def _block_offsets():
+def _block_offsets(plan, frame_len):
     offs = []
     pos = DATA_START + 1
-    for typ, dlen in _BLOCK_PLAN:
+    for typ, dlen in plan:
         offs.append((typ, pos, dlen))
         pos += 2 + dlen + 2
-    assert pos == FRAME_BYTES, pos
+    assert pos == frame_len, pos
     return offs
 
 
-_BLOCK_OFFSETS = _block_offsets()
+_BLOCK_OFFSETS = _block_offsets(_BLOCK_PLAN, FRAME_BYTES)
+_BLOCK_OFFSETS_EXT = _block_offsets(_BLOCK_PLAN_EXT, FRAME_BYTES_EXT)
+
+
+def _offsets_for(frame_type: int):
+    return _BLOCK_OFFSETS_EXT if frame_type == FRAME_TYPE_EXT else _BLOCK_OFFSETS
+
+
+def _frame_len_for(frame_type: int) -> int:
+    return FRAME_BYTES_EXT if frame_type == FRAME_TYPE_EXT else FRAME_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -136,30 +155,35 @@ def scramble(frame: np.ndarray) -> np.ndarray:
 
 
 def rs_encode_frame(frame: np.ndarray) -> np.ndarray:
-    """Fill bytes 8..55 with the two interleaved RS(255,231) parities."""
+    """Fill bytes 8..55 with the two interleaved RS(255,231) parities.
+
+    Works for both frame lengths: 320-byte frames use the shortened code
+    (132 data symbols), 518-byte extended frames the full-length code."""
     frame = frame.copy()
+    nrs = _n_rs_data(frame.shape[-1])
     for i in range(2):
-        data = frame[DATA_START + i::2][:N_RS_DATA]
+        data = frame[DATA_START + i::2][:nrs]
         cw = RS_CODEC.encode(data[None, :].astype(np.int32))[0]
-        frame[8 + 24 * i: 8 + 24 * (i + 1)] = cw[N_RS_DATA:]
+        frame[8 + 24 * i: 8 + 24 * (i + 1)] = cw[nrs:]
     return frame
 
 
 def rs_decode_frames(frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Correct a batch of descrambled frames [n, 320].
+    """Correct a batch of equal-length descrambled frames [n, 320 or 518].
 
     Returns (corrected, total_errors [n], ok [n])."""
     frames = np.asarray(frames, dtype=np.uint8).copy()
     n = frames.shape[0]
+    nrs = _n_rs_data(frames.shape[-1])
     oks = np.ones(n, dtype=bool)
     errs = np.zeros(n, dtype=np.int64)
     for i in range(2):
-        data = frames[:, DATA_START + i::2][:, :N_RS_DATA]
+        data = frames[:, DATA_START + i::2][:, :nrs]
         parity = frames[:, 8 + 24 * i: 8 + 24 * (i + 1)]
         recv = np.concatenate([data, parity], axis=1)
         corr, nerr, ok = RS_CODEC.decode(recv)
-        frames[:, DATA_START + i::2] = corr[:, :N_RS_DATA]
-        frames[:, 8 + 24 * i: 8 + 24 * (i + 1)] = corr[:, N_RS_DATA:]
+        frames[:, DATA_START + i::2][:, :nrs] = corr[:, :nrs]
+        frames[:, 8 + 24 * i: 8 + 24 * (i + 1)] = corr[:, nrs:]
         oks &= ok
         errs += nerr
     return frames, errs, oks
@@ -203,13 +227,38 @@ class RS41Decoder(SondeDecoderBase):
         return self.decode_byte_frames(scramble(raw), channels)
 
     def decode_byte_frames(self, frames: np.ndarray, channels) -> List[Tuple[int, TelemetryFragment]]:
-        """frames: [n, 320] descrambled bytes; returns (channel, fragment)."""
+        """frames: [n, L] descrambled bytes (L = 320, or 518 when the
+        pipeline gathers extended frames); returns (channel, fragment).
+
+        Standard and extended frames are dispatched on the frame-type byte
+        (0x38): a 518-byte gather of a standard sonde parses its first 320
+        bytes; extended sondes need L >= 518 (use sonde type "rs41x")."""
         frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
+        channels = np.asarray(channels)
+        L = frames.shape[1]
+        types = frames[:, DATA_START]
+        out: List[Tuple[int, TelemetryFragment]] = []
+        for ftype in (FRAME_TYPE_STD, FRAME_TYPE_EXT):
+            flen = _frame_len_for(ftype)
+            if flen > L:
+                continue
+            sel = types == ftype
+            if ftype == FRAME_TYPE_STD:
+                # frames whose type byte got corrupted: attempt the standard
+                # decode — RS correction may repair the type byte
+                sel = sel | ((types != FRAME_TYPE_EXT) & (types != FRAME_TYPE_STD))
+            if not sel.any():
+                continue
+            out.extend(self._decode_uniform(frames[sel][:, :flen],
+                                            channels[sel], _offsets_for(ftype)))
+        return out
+
+    def _decode_uniform(self, frames: np.ndarray, channels, offsets):
         corrected, _, rs_ok = rs_decode_frames(frames)
         # batch-verify every block's header + CRC across all frames at once
         # (per-frame python CRC was the parse hot spot at 1000+ channels)
         blk_ok = {}
-        for typ, pos, dlen in _BLOCK_OFFSETS:
+        for typ, pos, dlen in offsets:
             hdr = (corrected[:, pos] == typ) & (corrected[:, pos + 1] == dlen)
             data = corrected[:, pos + 2: pos + 2 + dlen]
             want = (corrected[:, pos + 2 + dlen].astype(np.uint16)
@@ -221,18 +270,19 @@ class RS41Decoder(SondeDecoderBase):
                 continue
             ch = int(np.asarray(channels)[fi])
             frag = self._parse_frame(corrected[fi], ch,
-                                     {t: bool(v[fi]) for t, v in blk_ok.items()})
+                                     {t: bool(v[fi]) for t, v in blk_ok.items()},
+                                     offsets)
             if frag is not None:
                 out.append((ch, frag))
         return out
 
     def _parse_frame(self, frame: np.ndarray, ch: int,
-                     blk_ok: Dict[int, bool]) -> Optional[TelemetryFragment]:
+                     blk_ok: Dict[int, bool], offsets) -> Optional[TelemetryFragment]:
         frag = TelemetryFragment()
         cal = self._cal.setdefault(ch, _ChannelCal())
         got_any = False
         meas = None
-        for typ, pos, dlen in _BLOCK_OFFSETS:
+        for typ, pos, dlen in offsets:
             if not blk_ok.get(typ, False):
                 continue
             data = frame[pos + 2: pos + 2 + dlen]
@@ -304,11 +354,11 @@ class RS41Decoder(SondeDecoderBase):
 
     def _parse_xdata(self, d: np.ndarray, frag: TelemetryFragment):
         txt = d.tobytes().rstrip(b"\x00").decode("ascii", errors="replace")
-        if txt.endswith(" mPa"):
+        if " mPa" in txt:
             try:
-                frag.o3_mpa = float(txt[:-4])
+                frag.o3_mpa = float(txt.split(" mPa")[0].split()[-1])
                 frag.fields |= Fields.OZONE
-            except ValueError:
+            except (ValueError, IndexError):
                 pass
 
 
@@ -334,6 +384,7 @@ class RS41Truth:
     burstkill: int = -1
     o3_mpa: Optional[float] = None
     battery_v: float = 2.9
+    xdata_extra: str = ""    # extra XDATA payload (extended frames)
 
 
 class RS41Modulator:
@@ -351,12 +402,14 @@ class RS41Modulator:
 
     # -- frame building ----------------------------------------------------
 
-    def build_frame(self, truth: RS41Truth) -> np.ndarray:
-        """Build one descrambled 320-byte frame (syncword + parity included)."""
-        f = np.zeros(FRAME_BYTES, dtype=np.uint8)
+    def build_frame(self, truth: RS41Truth, extended: bool = False) -> np.ndarray:
+        """Build one descrambled frame (syncword + parity included): 320
+        bytes standard, 518 bytes extended (long XDATA, type 0xF0)."""
+        flen = FRAME_BYTES_EXT if extended else FRAME_BYTES
+        f = np.zeros(flen, dtype=np.uint8)
         f[0:8] = scramble(np.frombuffer(SYNCWORD, dtype=np.uint8))  # descrambled-domain header
-        f[DATA_START] = 0x0F
-        for typ, pos, dlen in _BLOCK_OFFSETS:
+        f[DATA_START] = FRAME_TYPE_EXT if extended else FRAME_TYPE_STD
+        for typ, pos, dlen in (_BLOCK_OFFSETS_EXT if extended else _BLOCK_OFFSETS):
             data = self._block_data(typ, dlen, truth)
             f[pos] = typ
             f[pos + 1] = dlen
@@ -405,9 +458,13 @@ class RS41Modulator:
                 "<hhh", int(round(vx * 100)), int(round(vy * 100)), int(round(vz * 100))), np.uint8)
             d[18], d[19], d[20] = 9, 10, 15
         elif typ == BLK_XDATA:
+            txt = b""
             if truth.o3_mpa is not None:
-                txt = f"{truth.o3_mpa:.2f} mPa".encode("ascii")[:dlen]
-                d[:len(txt)] = np.frombuffer(txt, np.uint8)
+                txt = f"{truth.o3_mpa:.2f} mPa".encode("ascii")
+            if truth.xdata_extra:
+                txt += b" " + truth.xdata_extra.encode("ascii")
+            txt = txt[:dlen]
+            d[:len(txt)] = np.frombuffer(txt, np.uint8)
         return d
 
     # -- waveform ----------------------------------------------------------
@@ -425,4 +482,33 @@ class RS41Modulator:
         return gfsk_modulate(bits, fs / BAUD, SPEC.dev / fs, bt=bt)
 
 
+# RS41 with extended (518-byte, type 0xF0) frames — ozone/XDATA sondes. Same
+# physical layer; the pipeline gathers 518-byte frames so both lengths parse
+# (a standard frame's first 320 bytes sit inside the longer gather).
+SPEC_EXT = ProtocolSpec(
+    name="rs41x",
+    display_name="RS41 (extended)",
+    bandwidth=1e4,
+    baud=BAUD,
+    modulation="gfsk",
+    syncword=SYNCWORD,
+    lsb_first=True,
+    frame_bytes=FRAME_BYTES_EXT,
+    line_code="nrz",
+    deviation=2400.0,
+    extra={"whitening": WHITENING_MASK},
+)
+
+
+class RS41XModulator(RS41Modulator):
+    spec = SPEC_EXT
+
+    def modulate(self, truths: List[RS41Truth], fs: float = 48000.0,
+                 bt: float = 0.5) -> np.ndarray:
+        frames = np.stack([self.build_frame(t, extended=True) for t in truths])
+        bits = self.frames_to_bits(frames)
+        return gfsk_modulate(bits, fs / BAUD, SPEC_EXT.dev / fs, bt=bt)
+
+
 register_sonde("rs41", SPEC, RS41Decoder, RS41Modulator)
+register_sonde("rs41x", SPEC_EXT, RS41Decoder, RS41XModulator)

@@ -92,3 +92,56 @@ def test_corrupted_block_crc_skipped():
     dec = RS41Decoder()
     out = dec.decode_byte_frames(bad[None, :], np.zeros(1, int))
     assert out == []  # rs_ok gate drops the frame entirely
+
+
+def test_extended_frame_roundtrip():
+    """518-byte extended frames (type 0xF0, long XDATA) build, RS-protect
+    with the full-length code, and parse; a standard frame embedded in an
+    extended-length gather also parses (mixed dispatch)."""
+    from sondetpu.sondes.rs41 import FRAME_BYTES_EXT
+
+    mod = RS41Modulator()
+    truth = RS41Truth(o3_mpa=4.5, xdata_extra="XDATA0123456789" * 10)
+    ext = mod.build_frame(truth, extended=True)
+    assert ext.shape == (FRAME_BYTES_EXT,)
+    dec = RS41Decoder()
+    out = dec.decode_byte_frames(ext[None, :], np.zeros(1, int))
+    assert len(out) == 1
+    frag = out[0][1]
+    assert frag.o3_mpa == pytest.approx(4.5)
+    assert frag.serial == "S1234567"
+
+    # RS corrects errors in the full-length codeword too
+    bad = ext.copy().astype(np.int32)
+    rng = np.random.default_rng(1)
+    for p in rng.choice(np.arange(8, FRAME_BYTES_EXT), size=20, replace=False):
+        bad[p] ^= int(rng.integers(1, 256))
+    out = dec.decode_byte_frames(bad.astype(np.uint8)[None, :], np.zeros(1, int))
+    assert len(out) == 1 and out[0][1].serial == "S1234567"
+
+    # standard frame padded into a 518-byte gather window still parses
+    std = mod.build_frame(RS41Truth(frame_no=7))
+    padded = np.zeros(FRAME_BYTES_EXT, np.uint8)
+    padded[:320] = std
+    out = dec.decode_byte_frames(padded[None, :], np.zeros(1, int))
+    assert len(out) == 1 and out[0][1].seq == 7
+
+
+def test_rs41x_pipeline_end_to_end():
+    """Extended frames decode through the device pipeline (sonde rs41x)."""
+    from sondetpu.runtime.pipeline import PipelineConfig
+    from sondetpu.runtime.session import DecoderSession
+    from sondetpu.sondes.rs41 import RS41XModulator
+
+    mod = RS41XModulator()
+    truths = [RS41Truth(frame_no=60 + i, o3_mpa=2.25) for i in range(4)]
+    iq = mod.modulate(truths)
+    cfg = PipelineConfig(sonde="rs41x", channels=1, block_len=48000)
+    sess = DecoderSession(cfg)
+    n = iq.size
+    for i in range(0, n - 48000 + 1, 48000):
+        sess.process_block(iq[None, i:i + 48000])
+    assert sess.frames_seen >= 2
+    t = sess.telemetry[0]
+    assert t.serial == "S1234567"
+    assert t.aux_data == "O3=2.25mPa"

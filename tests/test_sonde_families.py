@@ -17,7 +17,7 @@ def test_registry_covers_reference_table():
     """All 7 entries of the reference's supported-types table
     (main.hpp:44-52) have an implementation."""
     assert set(SUPPORTED_TYPES) == {
-        "rs41", "dfm", "ims100", "m10", "imet4", "c50", "mrzn1"}
+        "rs41", "rs41x", "dfm", "ims100", "m10", "imet4", "c50", "mrzn1"}
     for name in SUPPORTED_TYPES:
         ent = get_sonde(name)
         assert ent["spec"].bandwidth > 0
