@@ -69,9 +69,29 @@ def _truth_class(sonde: str):
     raise KeyError(f"no Truth class for {sonde}")
 
 
+def _make_sinks(args, default_type=""):
+    from sondetpu.io import GPXWriter, JSONLWriter, PTUWriter
+
+    gpx = GPXWriter(args.gpx) if args.gpx else None
+    ptu = PTUWriter(args.ptu) if args.ptu else None
+    jsonl = JSONLWriter(args.jsonl) if args.jsonl else None
+
+    def on_update(ch, telem, sonde_type=default_type):
+        if gpx:
+            if telem.serial:
+                gpx.start_track(telem.serial)      # per-serial tracks (gpx.cpp:39)
+            gpx.add_track_point(telem.time, telem.lat, telem.lon, telem.alt,
+                                telem.spd, telem.hdg)
+        if ptu:
+            ptu.add_point(telem)
+        if jsonl:
+            jsonl.add_point(telem, channel=ch, sonde_type=sonde_type)
+
+    return on_update, (gpx, ptu, jsonl)
+
+
 def cmd_decode(args) -> int:
     from sondetpu.cli.config import FrameworkConfig
-    from sondetpu.io import GPXWriter, JSONLWriter, PTUWriter
     from sondetpu.io.iq import IQFileSource
     from sondetpu.runtime.pipeline import PipelineConfig
     from sondetpu.runtime.session import DecoderSession
@@ -82,22 +102,10 @@ def cmd_decode(args) -> int:
         cfg.sonde = args.sonde
     if args.channels:
         cfg.channels = args.channels
+    if args.wideband or cfg.wideband or cfg.channel_map:
+        return _decode_wideband(args, cfg)
 
-    gpx = GPXWriter(args.gpx) if args.gpx else None
-    ptu = PTUWriter(args.ptu) if args.ptu else None
-    jsonl = JSONLWriter(args.jsonl) if args.jsonl else None
-
-    def on_update(ch, telem):
-        if gpx:
-            if telem.serial:
-                gpx.start_track(telem.serial)      # per-serial tracks (gpx.cpp:39)
-            gpx.add_track_point(telem.time, telem.lat, telem.lon, telem.alt,
-                                telem.spd, telem.hdg)
-        if ptu:
-            ptu.add_point(telem)
-        if jsonl:
-            jsonl.add_point(telem, channel=ch, sonde_type=cfg.sonde)
-
+    on_update, sinks = _make_sinks(args, cfg.sonde)
     pcfg = PipelineConfig(sonde=cfg.sonde, channels=cfg.channels, fs=cfg.fs,
                           block_len=cfg.block_len,
                           sync_threshold=cfg.sync_threshold,
@@ -120,10 +128,52 @@ def cmd_decode(args) -> int:
     if args.checkpoint:
         ckpt.save_session(sess, args.checkpoint)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
-    for w in (gpx, ptu, jsonl):
+    for w in sinks:
         if w:
             w.deinit()
     print(sess.metrics.json_line(), file=sys.stderr)
+    return 0
+
+
+def _decode_wideband(args, cfg) -> int:
+    """Wideband input: PFB channelize per the config's channel_map, decode a
+    mixed fleet (BASELINE.json:11). Channel map entries give each sonde's
+    center frequency within the wideband span; bins snap to fs_chan and the
+    residual goes to the per-channel fine-offset DDC."""
+    from sondetpu.io.iq import IQFileSource
+    from sondetpu.runtime.fleet import FleetChannel, FleetSession
+
+    n_bins = args.bins
+    fs_chan = cfg.fs
+    fs_wide = n_bins * fs_chan
+    if not cfg.channel_map:
+        print("wideband decode needs --config with channel_map entries",
+              file=sys.stderr)
+        return 2
+    chans = []
+    for entry in cfg.channel_map:
+        k = int(round(entry.center_freq / fs_chan)) % n_bins
+        resid = entry.center_freq - ((k if k < n_bins / 2 else k - n_bins) * fs_chan)
+        chans.append(FleetChannel(pfb_bin=k, sonde=entry.sonde, offset_hz=resid))
+
+    on_update, sinks = _make_sinks(args)
+    fleet = FleetSession(
+        chans, n_bins=n_bins, fs_chan=fs_chan, block_len=cfg.block_len,
+        sync_threshold=cfg.sync_threshold, use_pallas=cfg.use_pallas,
+        on_update=lambda ch, sonde, t: on_update(ch, t, sonde))
+    w = n_bins * cfg.block_len
+    src = IQFileSource(args.iq, block_len=w, fmt=args.format)
+    blocks = 0
+    updates = 0
+    for block, valid in src.blocks():
+        updates += fleet.process_wideband(block)
+        blocks += 1
+        if args.status and blocks % args.status == 0:
+            print(f"[wideband] blocks={blocks} updates={updates}", file=sys.stderr)
+    for s in sinks:
+        if s:
+            s.deinit()
+    print(f'{{"wideband_blocks": {blocks}, "updates": {updates}}}', file=sys.stderr)
     return 0
 
 
@@ -176,6 +226,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reset channels idle for N blocks")
     pd.add_argument("--checkpoint", default=None, help="save state on exit")
     pd.add_argument("--resume", default=None, help="restore state first")
+    pd.add_argument("--wideband", action="store_true",
+                    help="input is wideband; channelize per config channel_map")
+    pd.add_argument("--bins", type=int, default=8,
+                    help="PFB channel count for --wideband")
     pd.set_defaults(fn=cmd_decode)
 
     pf = sub.add_parser("fer", help="frame-error-rate vs SNR sweep")
@@ -192,6 +246,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even on hosts whose sitecustomize force-registers
+    # a different backend (the env var alone is ignored there)
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -10,8 +10,8 @@ M10 frames / 70-byte M20 frames sharing a sync prefix; the publicly known
 M10 header bytes 0x64 0x9F 0x20 identify the M10 subtype, 0x45 0x20 the M20
 (rows verified against public decoder sources; field offsets below are this
 framework's definition, modulator/parser-consistent, to re-verify against
-recorded IQ per SURVEY.md §7). Checksum: Fletcher-16 over the frame body
-[simplified; the real M10 uses a custom LFSR checksum — re-derive on IQ].
+recorded IQ per SURVEY.md §7). Checksum: the M10's rolling 16-bit checksum
+(public algorithm, see :func:`m10_checksum`).
 
   M10 frame (101B): 0x00 2B sync 0xAA 0xAA; 0x02 0x64 0x9F 0x20 (type/len);
     0x05 u32 tow_ms; 0x09 u16 week; 0x0B i32 lat 1e-6 deg; 0x0F i32 lon;
@@ -54,13 +54,29 @@ SPEC = ProtocolSpec(
 )
 
 
-def fletcher16(data: np.ndarray) -> int:
-    """Fletcher-16 over the frame body (see module docstring caveat)."""
-    a, b = 0, 0
+def m10_checksum(data: np.ndarray) -> int:
+    """The M10's rolling 16-bit checksum.
+
+    Per-byte update as publicly documented for the Meteomodem framing: the
+    byte is rotated and self-XORed, the low state byte feeds back through a
+    parity-tap permutation, the high state byte shifts down. Matches the
+    algorithm in public M10 decoders; verify against recorded IQ
+    (SURVEY.md §7).
+    """
+    c = 0
     for x in np.asarray(data, dtype=np.uint8):
-        a = (a + int(x)) % 255
-        b = (b + a) % 255
-    return (b << 8) | a
+        b = int(x)
+        c1 = c & 0xFF
+        b = ((b >> 1) | ((b & 1) << 7))
+        b ^= (b >> 2) & 0xFF
+        t6 = (c & 1) ^ ((c >> 2) & 1) ^ ((c >> 4) & 1)
+        t7 = ((c >> 1) & 1) ^ ((c >> 3) & 1) ^ ((c >> 5) & 1)
+        t = (c & 0x3F) | (t6 << 6) | (t7 << 7)
+        s = (c >> 7) & 0xFF
+        s ^= (s >> 2) & 0xFF
+        c0 = b ^ t ^ s
+        c = ((c1 << 8) | (c0 & 0xFF)) & 0xFFFF
+    return c
 
 
 class M10Decoder(SondeDecoderBase):
@@ -79,7 +95,7 @@ class M10Decoder(SondeDecoderBase):
             if f[0:2].tobytes() != b"\xaa\xaa" or f[2:5].tobytes() != M10_TYPE:
                 continue
             want = struct.unpack("<H", f[0x63:0x65].tobytes())[0]
-            if fletcher16(f[2:0x63]) != want:
+            if m10_checksum(f[2:0x63]) != want:
                 continue
             frag = self._parse(f)
             if frag.fields:
@@ -147,7 +163,7 @@ class M10Modulator:
         f[0x2B:0x2D] = np.frombuffer(struct.pack(
             "<H", int(round((t.temp + 273.15) * 100))), np.uint8)
         f[0x2D:0x2F] = np.frombuffer(struct.pack("<H", int(round(t.rh * 100))), np.uint8)
-        f[0x63:0x65] = np.frombuffer(struct.pack("<H", fletcher16(f[2:0x63])), np.uint8)
+        f[0x63:0x65] = np.frombuffer(struct.pack("<H", m10_checksum(f[2:0x63])), np.uint8)
         return f
 
     def frames_to_chips(self, frames: np.ndarray) -> np.ndarray:

@@ -159,3 +159,48 @@ def test_fer_sweep_shape():
 
     res = fer_sweep("rs41", [20.0], n_frames=4)
     assert res["points"][0]["fer"] <= 0.5
+
+
+def test_cli_wideband_mixed_fleet(tmp_path):
+    """CLI wideband decode: a config channel_map routes PFB bins to sonde
+    types; telemetry comes out tagged per channel (BASELINE.json:11)."""
+    import os
+    import numpy as np
+    from sondetpu.cli.config import ChannelConfig, FrameworkConfig
+    from sondetpu.io import write_iq
+    from sondetpu.sondes.modulate import freq_shift, gfsk_modulate
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    n_bins = 8
+    fs_chan = 48000.0
+    fs_wide = n_bins * fs_chan
+    mod = RS41Modulator()
+    bits = mod.frames_to_bits(np.stack(
+        [mod.build_frame(RS41Truth(frame_no=20 + i)) for i in range(3)]))
+    iq = gfsk_modulate(bits, fs_wide / 4800.0, 2400.0 / fs_wide, bt=0.5)
+    # channel at bin 2 + 3 kHz fine offset
+    f_center = 2 * fs_chan + 3000.0
+    iq = freq_shift(iq, f_center / fs_wide)
+    w = n_bins * 48000
+    iq = np.pad(iq, (0, (-iq.size) % w))
+    iqf = str(tmp_path / "wide.cf32")
+    write_iq(iqf, iq)
+
+    cfgf = str(tmp_path / "cfg.json")
+    cfg = FrameworkConfig()
+    cfg.channel_map = [ChannelConfig(center_freq=f_center, sonde="rs41")]
+    cfg.save(cfgf)
+
+    jsonlf = str(tmp_path / "w.jsonl")
+    full_env = dict(os.environ)
+    full_env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-m", "sondetpu.cli.main", "decode",
+                        "--iq", iqf, "--wideband", "--bins", str(n_bins),
+                        "--config", cfgf, "--jsonl", jsonlf],
+                       capture_output=True, text=True, env=full_env,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(l) for l in open(jsonlf)]
+    assert lines, r.stderr
+    assert lines[-1]["serial"] == "S1234567"
+    assert lines[-1]["type"] == "rs41"
