@@ -125,6 +125,8 @@ class Pipeline:
         self._chan_taps = design_lowpass(
             min(spec.bandwidth / 2.0, 0.45 * c.fs), c.fs, c.ntaps)
         self._template = spec.sync_chip_template()
+        alt = spec.extra.get("alt_syncword")
+        self._alt_template = spec.sync_chip_template(alt) if alt else None
         self._fs = c.fs
         self._dev = spec.dev
         self._afsk = spec.modulation == "afsk"
@@ -329,6 +331,14 @@ class Pipeline:
         if c.spec.extra.get("abs_corr"):
             # biphase-M is polarity-ambiguous: match either polarity
             corr = jnp.abs(corr)
+        if self._alt_template is not None:
+            # subtype with a different syncword on the same channel (M20 on
+            # the M10/M20 entry): accept whichever template matches better
+            corr2 = correlate_syncword(chipbuf, self._alt_template)
+            if c.spec.extra.get("abs_corr"):
+                corr2 = jnp.abs(corr2)
+            m = min(corr.shape[-1], corr2.shape[-1])
+            corr = jnp.maximum(corr[:, :m], corr2[:, :m])
         min_dist = max(self.config.frame_chips // 4, self._template.shape[0])
         starts, ok = find_frame_starts(corr, self.config.sync_threshold,
                                        c.max_frames, min_dist)

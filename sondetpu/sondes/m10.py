@@ -18,6 +18,12 @@ recorded IQ per SURVEY.md §7). Checksum: the M10's rolling 16-bit checksum
     0x13 i32 alt cm; 0x17 3 x i16 vE,vN,vU cm/s; 0x1D u16 frame_no;
     0x1F 12B serial ASCII; 0x2B u16 temp centi-C + 273.15 offset;
     0x2D u16 rh centi-%; remainder spare; 0x63 u16 checksum.
+  M20 frame (70B): 0x00 2B sync 0xAA 0xAA; 0x02 0x45 0x20 (type/len);
+    same field layout through temp (0x2B); NO RH sensor (README.md:13);
+    0x44 u16 checksum over 0x02..0x43. Both subtypes decode on the same
+    "m10" channel — the gather window is 101 bytes and frames dispatch on
+    the type bytes (mirroring the reference's single M10/M20 entry,
+    main.hpp:48).
 """
 
 from __future__ import annotations
@@ -50,7 +56,9 @@ SPEC = ProtocolSpec(
     frame_bytes=FRAME_BYTES,
     line_code="biphase_m",
     deviation=12000.0,
-    extra={"abs_corr": True},   # biphase-M polarity ambiguity
+    extra={"abs_corr": True,     # biphase-M polarity ambiguity
+           # M20 subtype shares the channel but has its own sync bytes
+           "alt_syncword": bytes([0xAA, 0xAA, 0x45, 0x20])},
 )
 
 
@@ -92,17 +100,25 @@ class M10Decoder(SondeDecoderBase):
         for fi in range(frames.shape[0]):
             f = frames[fi]
             ch = int(np.asarray(channels)[fi])
-            if f[0:2].tobytes() != b"\xaa\xaa" or f[2:5].tobytes() != M10_TYPE:
+            if f[0:2].tobytes() != b"\xaa\xaa":
                 continue
-            want = struct.unpack("<H", f[0x63:0x65].tobytes())[0]
-            if m10_checksum(f[2:0x63]) != want:
+            if f[2:5].tobytes() == M10_TYPE:
+                want = struct.unpack("<H", f[0x63:0x65].tobytes())[0]
+                if m10_checksum(f[2:0x63]) != want:
+                    continue
+                frag = self._parse(f, is_m20=False)
+            elif f[2:4].tobytes() == M20_TYPE:
+                want = struct.unpack("<H", f[0x44:0x46].tobytes())[0]
+                if m10_checksum(f[2:0x44]) != want:
+                    continue
+                frag = self._parse(f, is_m20=True)
+            else:
                 continue
-            frag = self._parse(f)
             if frag.fields:
                 out.append((ch, frag))
         return out
 
-    def _parse(self, f: np.ndarray) -> TelemetryFragment:
+    def _parse(self, f: np.ndarray, is_m20: bool = False) -> TelemetryFragment:
         frag = TelemetryFragment()
         tow_ms, = struct.unpack("<I", f[0x05:0x09].tobytes())
         week, = struct.unpack("<H", f[0x09:0x0B].tobytes())
@@ -122,9 +138,12 @@ class M10Decoder(SondeDecoderBase):
             frag.serial = serial
             frag.fields |= Fields.SERIAL
         t_raw, = struct.unpack("<H", f[0x2B:0x2D].tobytes())
-        rh_raw, = struct.unpack("<H", f[0x2D:0x2F].tobytes())
         frag.temp = t_raw / 100.0 - 273.15
-        frag.rh = rh_raw / 100.0              # M10 carries RH (README.md:11)
+        if is_m20:
+            frag.rh = float("nan")            # M20 has no RH (README.md:13)
+        else:
+            rh_raw, = struct.unpack("<H", f[0x2D:0x2F].tobytes())
+            frag.rh = rh_raw / 100.0          # M10 carries RH (README.md:11)
         frag.pressure = 0.0
         frag.calib_percent = 100.0            # no calibration accumulation
         frag.fields |= Fields.PTU
@@ -134,17 +153,20 @@ class M10Decoder(SondeDecoderBase):
 class M10Truth:
     def __init__(self, serial="ME10A00001", frame_no=1, lat=52.2, lon=21.0,
                  alt=15000.0, ve=-4.0, vn=9.0, vu=5.0, temp=-55.0, rh=12.0,
-                 time_utc=1.7e9):
+                 time_utc=1.7e9, m20=False):
         self.serial, self.frame_no = serial, frame_no
         self.lat, self.lon, self.alt = lat, lon, alt
         self.ve, self.vn, self.vu = ve, vn, vu
         self.temp, self.rh, self.time_utc = temp, rh, time_utc
+        self.m20 = m20
 
 
 class M10Modulator:
     spec = SPEC
 
     def build_frame(self, t: M10Truth) -> np.ndarray:
+        if t.m20:
+            return self._build_m20(t)
         f = np.zeros(FRAME_BYTES, dtype=np.uint8)
         f[0:2] = (0xAA, 0xAA)
         f[2:5] = np.frombuffer(M10_TYPE, np.uint8)
@@ -164,6 +186,29 @@ class M10Modulator:
             "<H", int(round((t.temp + 273.15) * 100))), np.uint8)
         f[0x2D:0x2F] = np.frombuffer(struct.pack("<H", int(round(t.rh * 100))), np.uint8)
         f[0x63:0x65] = np.frombuffer(struct.pack("<H", m10_checksum(f[2:0x63])), np.uint8)
+        return f
+
+    def _build_m20(self, t: M10Truth) -> np.ndarray:
+        """70-byte M20 frame, zero-padded to the 101-byte gather window so
+        back-to-back M20 frames keep a fixed chip spacing on air."""
+        f = np.zeros(FRAME_BYTES, dtype=np.uint8)
+        f[0:2] = (0xAA, 0xAA)
+        f[2:4] = np.frombuffer(M20_TYPE, np.uint8)
+        week, tow = geo.utc_to_gps_time(t.time_utc)
+        f[0x05:0x09] = np.frombuffer(struct.pack("<I", int(round(tow * 1000))), np.uint8)
+        f[0x09:0x0B] = np.frombuffer(struct.pack("<H", int(week)), np.uint8)
+        f[0x0B:0x17] = np.frombuffer(struct.pack(
+            "<iii", int(round(t.lat * 1e6)), int(round(t.lon * 1e6)),
+            int(round(t.alt * 100))), np.uint8)
+        f[0x17:0x1D] = np.frombuffer(struct.pack(
+            "<hhh", int(round(t.ve * 100)), int(round(t.vn * 100)),
+            int(round(t.vu * 100))), np.uint8)
+        f[0x1D:0x1F] = np.frombuffer(struct.pack("<H", t.frame_no & 0xFFFF), np.uint8)
+        f[0x1F:0x2B] = np.frombuffer(t.serial.encode("ascii")[:12].ljust(12), np.uint8)
+        f[0x2B:0x2D] = np.frombuffer(struct.pack(
+            "<H", int(round((t.temp + 273.15) * 100))), np.uint8)
+        f[0x44:0x46] = np.frombuffer(struct.pack(
+            "<H", m10_checksum(f[2:0x44])), np.uint8)
         return f
 
     def frames_to_chips(self, frames: np.ndarray) -> np.ndarray:

@@ -153,3 +153,20 @@ def test_dfm_noisy():
     iq = mod.modulate([DFMTruth(frame_no=i) for i in range(10)])
     sess = _run("dfm", iq, snr_db=12.0)
     assert sess.frames_seen >= 6
+
+
+def test_m20_end_to_end():
+    """M20 subtype (70-byte frame, no RH) decodes on the same m10 channel
+    (reference's single M10/M20 entry, main.hpp:48; README.md:13)."""
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    truths = [M10Truth(frame_no=30 + i, m20=True, serial="ME20B00007",
+                       temp=-48.0) for i in range(8)]
+    iq = mod.modulate(truths)
+    sess = _run("m10", iq)
+    assert sess.frames_seen >= 5
+    t = sess.telemetry[0]
+    assert t.serial == "ME20B00007"
+    assert t.temp == pytest.approx(-48.0, abs=0.02)
+    assert np.isnan(t.rh) or t.rh == 0.0    # no RH on M20
