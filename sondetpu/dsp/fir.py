@@ -101,23 +101,25 @@ def fir_filter(x: jax.Array, taps: jax.Array) -> jax.Array:
     return _apply_windows(xp, taps)
 
 
-def _apply_windows(xp: jax.Array, taps: jax.Array) -> jax.Array:
-    """[batch, n + ntaps - 1] padded input -> [batch, n] causal FIR output.
+def _apply_windows(xp: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
+    """[batch, n + ntaps - 1] padded input -> [batch, n // stride] causal FIR.
 
     Lowered as a batched 1-D convolution (never materializes the
     [batch, n, ntaps] window tensor — that would be ~TBs at 1000 channels).
+    stride > 1 fuses decimation into the filter: only every stride-th output
+    is computed (the polyphase-decimator cost model).
     """
     ntaps = taps.shape[0]
     h_rev = taps[::-1].astype(jnp.float32)
     if jnp.iscomplexobj(xp):
-        return (_conv1d(xp.real, h_rev) + 1j * _conv1d(xp.imag, h_rev))
-    return _conv1d(xp, h_rev)
+        return (_conv1d(xp.real, h_rev, stride) + 1j * _conv1d(xp.imag, h_rev, stride))
+    return _conv1d(xp, h_rev, stride)
 
 
-def _conv1d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+def _conv1d(x: jax.Array, kernel: jax.Array, stride: int = 1) -> jax.Array:
     out = jax.lax.conv_general_dilated(
         x[:, None, :].astype(jnp.float32), kernel[None, None, :],
-        window_strides=(1,), padding="VALID",
+        window_strides=(stride,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"))
     return out[:, 0, :]
 

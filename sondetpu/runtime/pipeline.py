@@ -59,12 +59,34 @@ class PipelineConfig:
         return get_sonde(self.sonde)["spec"]
 
     @property
+    def decim(self) -> int:
+        """Decimation fused into the pre-demod channel filter.
+
+        Narrowband types (channel bandwidth well below the half-rate
+        Nyquist and >= 4 samples/symbol after decimation) process the
+        demod/timing/slicing chain at fs/2 — the channel filter's strided
+        conv halves every downstream stage's cost. AFSK needs the full
+        audio bandwidth for its tones, so it stays at fs.
+        """
+        spec = self.spec
+        if (spec.modulation != "afsk"
+                and self.fs / 2.0 >= 2.2 * spec.bandwidth
+                and (self.fs / 2.0) / spec.baud >= 4.0
+                and self.block_len % 2 == 0):
+            return 2
+        return 1
+
+    @property
+    def fs_proc(self) -> float:
+        return self.fs / self.decim
+
+    @property
     def sps(self) -> float:
-        return self.fs / self.spec.baud
+        return self.fs_proc / self.spec.baud
 
     @property
     def chips_per_block(self) -> int:
-        return int(round(self.block_len / self.sps))
+        return int(round(self.block_len / self.decim / self.sps))
 
     @property
     def chip_cap(self) -> int:
@@ -117,13 +139,15 @@ class Pipeline:
         # device round-trip (some PJRT backends cannot read device constants
         # back during tracing)
         nyq_cut = 0.55 * spec.baud
-        self._taps = design_lowpass(nyq_cut, c.fs, c.ntaps)
+        # matched filter runs at the (possibly decimated) processing rate
+        self._taps = design_lowpass(nyq_cut, c.fs_proc, c.ntaps)
         # pre-demod channel filter at the sonde's bandwidth (the reference's
         # VFO filters to spec bandwidth before the FM demod, main.cpp:55-57;
         # without it the discriminator sees the full fs noise bandwidth and
-        # hits its threshold ~7 dB earlier)
+        # hits its threshold ~7 dB earlier). For narrowband types the filter
+        # also decimates (strided conv, config.decim).
         self._chan_taps = design_lowpass(
-            min(spec.bandwidth / 2.0, 0.45 * c.fs), c.fs, c.ntaps)
+            min(spec.bandwidth / 2.0, 0.45 * c.fs_proc), c.fs, c.ntaps)
         self._template = spec.sync_chip_template()
         alt = spec.extra.get("alt_syncword")
         self._alt_template = spec.sync_chip_template(alt) if alt else None
@@ -241,7 +265,8 @@ class Pipeline:
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
         sps = c.sps
-        scale = self._fs / (2.0 * jnp.pi * self._dev)
+        # phase-diff scale at the post-decimation processing rate
+        scale = c.fs_proc / (2.0 * jnp.pi * self._dev)
         n = iq_i.shape[-1]
 
         if c.fine_offsets is not None:
@@ -257,13 +282,16 @@ class Pipeline:
         else:
             ddc_phase = ()
 
-        # pre-demod channel filter (reference VFO bandwidth, main.cpp:55-57)
+        # pre-demod channel filter (reference VFO bandwidth, main.cpp:55-57);
+        # for narrowband types the strided conv also decimates (c.decim),
+        # halving the cost of every stage after it
         xpi = jnp.concatenate([state.chan_tail_i, iq_i], axis=-1)
         xpq = jnp.concatenate([state.chan_tail_q, iq_q], axis=-1)
         new_ctail_i = xpi[:, -(c.ntaps - 1):]
         new_ctail_q = xpq[:, -(c.ntaps - 1):]
-        iq_i = _apply_windows(xpi, self._chan_taps)
-        iq_q = _apply_windows(xpq, self._chan_taps)
+        iq_i = _apply_windows(xpi, self._chan_taps, stride=c.decim)
+        iq_q = _apply_windows(xpq, self._chan_taps, stride=c.decim)
+        n = iq_i.shape[-1]                 # processing length from here on
 
         fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
 
