@@ -30,7 +30,7 @@ def main():
     from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
     from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
 
-    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     block_len = 48000          # 1 second of 48 kHz IQ per step
     fs = 48000.0
 
