@@ -29,7 +29,8 @@ class DecoderSession:
     """Streaming decode of [channels, block] IQ into telemetry updates."""
 
     def __init__(self, config: PipelineConfig,
-                 on_update: Optional[Callable[[int, SondeTelemetry], None]] = None):
+                 on_update: Optional[Callable[[int, SondeTelemetry], None]] = None,
+                 pipelined: bool = False):
         self.config = config
         self.pipeline = Pipeline(config)
         self.state = self.pipeline.init_state()
@@ -40,6 +41,12 @@ class DecoderSession:
         self.blocks_seen = 0
         self.metrics = Metrics(channels=config.channels, fs=config.fs)
         self._last_update_block: Dict[int, int] = {}
+        # pipelined mode: dispatch block k+1 before reading block k's output
+        # — the host readback overlaps the device's next step (the batched
+        # analogue of the reference's per-block worker threads, SURVEY.md C2).
+        # Telemetry updates then lag the input by one block.
+        self.pipelined = pipelined
+        self._pending = None
 
     def reset_channel(self, channel: int) -> None:
         """Drop a channel's host state (elastic recovery, SURVEY.md §5.3);
@@ -63,10 +70,17 @@ class DecoderSession:
 
     def process_block(self, iq) -> List[Tuple[int, SondeTelemetry]]:
         """iq: [channels, block_len] complex64 or (i, q) float32 planes.
-        Returns (channel, telemetry snapshot) updates."""
+        Returns (channel, telemetry snapshot) updates (for the previous
+        block when ``pipelined``)."""
         t0 = time.perf_counter()
         self.state, out = self.pipeline.step(self.state, iq)
         self.blocks_seen += 1
+        if self.pipelined:
+            out, self._pending = self._pending, out
+            if out is None:
+                self.metrics.on_block(self.config.block_len,
+                                      time.perf_counter() - t0, 0, 0, 0)
+                return []
         updates, frames_raw, decoded = self._handle_output(out)
         soft_rms = np.asarray(out.soft_rms)
         self.metrics.on_block(
@@ -74,6 +88,16 @@ class DecoderSession:
             wall_seconds=time.perf_counter() - t0,
             frames_raw=frames_raw, frames_decoded=decoded,
             updates=len(updates), soft_rms=soft_rms)
+        return updates
+
+    def flush(self) -> List[Tuple[int, SondeTelemetry]]:
+        """Drain the pending block in pipelined mode (call at end of stream)."""
+        if not self.pipelined or self._pending is None:
+            return []
+        out, self._pending = self._pending, None
+        updates, frames_raw, decoded = self._handle_output(out)
+        self.metrics.on_block(0, 0.0, frames_raw, decoded, len(updates),
+                              np.asarray(out.soft_rms))
         return updates
 
     def _handle_output(self, out: BlockOutput):

@@ -204,3 +204,16 @@ def test_cli_wideband_mixed_fleet(tmp_path):
     assert lines, r.stderr
     assert lines[-1]["serial"] == "S1234567"
     assert lines[-1]["type"] == "rs41"
+
+
+def test_pipelined_session_decodes_with_one_block_lag():
+    iq = _rs41_iq(6)
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000)
+    plain = DecoderSession(cfg)
+    piped = DecoderSession(cfg, pipelined=True)
+    for i in range(0, iq.size - 48000 + 1, 48000):
+        plain.process_block(iq[None, i:i + 48000])
+        piped.process_block(iq[None, i:i + 48000])
+    piped.flush()
+    assert piped.frames_seen == plain.frames_seen
+    assert piped.telemetry[0].seq == plain.telemetry[0].seq
