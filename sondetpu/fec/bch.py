@@ -48,6 +48,7 @@ class BCH:
     """Binary BCH(n, k) with n = 2^m - 1 and design distance 2t+1."""
 
     def __init__(self, m: int, t: int, prim_poly: int):
+        self.prim_poly = prim_poly
         self.gf = _GF2m(m, prim_poly)
         self.n = self.gf.n
         self.t = t
@@ -106,6 +107,10 @@ class BCH:
         recv = np.atleast_2d(np.asarray(recv_bits, dtype=np.uint8))
         batch, n = recv.shape
         assert n == self.n
+        if n == 63 and self.t == 2 and self.prim_poly == 0x43:
+            from sondetpu.fec import native
+            if native.available():
+                return native.bch63_decode(recv)
         gf = self.gf
         t2 = 2 * self.t
 

@@ -36,6 +36,10 @@ def crc16_ccitt(data: bytes | np.ndarray, init: int = 0xFFFF) -> int:
 def crc16_ccitt_batch(data: np.ndarray, init: int = 0xFFFF) -> np.ndarray:
     """CRC16-CCITT of a batch of messages: data [batch, n] -> crc [batch]."""
     data = np.asarray(data, dtype=np.uint8)
+    if data.ndim == 2:
+        from sondetpu.fec import native
+        if native.available():
+            return native.crc16_batch(data, init)
     crc = np.full(data.shape[0], init, dtype=np.uint16)
     for i in range(data.shape[1]):
         crc = ((crc << 8) & 0xFFFF) ^ _CCITT_TABLE[(crc >> 8) ^ data[:, i]]

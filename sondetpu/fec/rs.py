@@ -73,6 +73,10 @@ class ReedSolomon:
         n_errors [batch], ok [batch] bool). ``ok`` is False when the error
         pattern is uncorrectable (> t errors detected).
         """
+        from sondetpu.fec import native
+        if native.available():
+            return native.rs_decode(np.atleast_2d(np.asarray(recv, dtype=np.uint8)),
+                                    self.nroots, self.fcr, self.gf.prim_poly)
         recv = np.atleast_2d(np.asarray(recv, dtype=np.int32))
         batch, n = recv.shape
         gf = self.gf

@@ -156,6 +156,111 @@ def write_iq(path: str, iq: np.ndarray, fmt: str = "cf32") -> None:
         raise ValueError(f"unknown IQ format {fmt!r}")
 
 
+_FMT_CODES = {"cf32": 0, "cs16": 1, "cs8": 2, "cu8": 3}
+_FMT_SCALES = {"cf32": 1.0, "cs16": 1.0 / 32768.0, "cs8": 1.0 / 128.0,
+               "cu8": 1.0 / 128.0}
+
+_iqstream = None
+
+
+def _load_iqstream():
+    """Load the native background-prefetch stream reader (libiqstream.so)."""
+    global _iqstream
+    if _iqstream is not None:
+        return _iqstream
+    if os.environ.get("SONDETPU_NO_NATIVE"):
+        _iqstream = False
+        return _iqstream
+    path = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "native", "libiqstream.so"))
+    if not os.path.exists(path):
+        _iqstream = False
+        return _iqstream
+    try:
+        lib = ctypes.CDLL(path)
+        lib.iqs_open.restype = ctypes.c_void_p
+        lib.iqs_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+                                 ctypes.c_float, ctypes.c_int]
+        lib.iqs_read.restype = ctypes.c_int64
+        lib.iqs_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.iqs_close.argtypes = [ctypes.c_void_p]
+        _iqstream = lib
+    except OSError:
+        _iqstream = False
+    return _iqstream
+
+
+class StreamingIQSource:
+    """Stream an IQ file or FIFO as float32 I/Q plane blocks, O(block) memory.
+
+    The native runtime path (SURVEY.md C1/C2): a C++ reader thread
+    (sondetpu/native/iqstream.cpp) prefetches and converts the next block
+    while the caller's block is on the device, so file IO and sample
+    conversion overlap device compute — the batched analogue of the
+    reference's per-block worker threads with a double-buffered stream.
+    Falls back to synchronous NumPy chunk reads when the library is absent.
+
+    Yields ``(plane_i[block_len], plane_q[block_len], valid)`` — the exact
+    layout the compiled pipeline ingests (complex64 stays host-side).
+    """
+
+    def __init__(self, path: str, block_len: int, fmt: Optional[str] = None,
+                 depth: int = 4):
+        if fmt is None:
+            ext = os.path.splitext(path)[1].lstrip(".").lower()
+            fmt = {"raw": "cf32"}.get(ext, ext)
+        if fmt not in _FMT_CODES:
+            raise ValueError(f"unsupported streaming IQ format {fmt!r} "
+                             f"(have {sorted(_FMT_CODES)})")
+        self.path = path
+        self.fmt = fmt
+        self.block_len = int(block_len)
+        self.depth = int(depth)
+
+    def blocks(self) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+        lib = _load_iqstream()
+        if lib:
+            yield from self._blocks_native(lib)
+        else:
+            yield from self._blocks_numpy()
+
+    def _blocks_native(self, lib):
+        h = lib.iqs_open(self.path.encode(), _FMT_CODES[self.fmt],
+                         self.block_len, _FMT_SCALES[self.fmt], self.depth)
+        if not h:
+            raise OSError(f"cannot open IQ stream {self.path!r}")
+        try:
+            while True:
+                pi = np.empty(self.block_len, dtype=np.float32)
+                pq = np.empty(self.block_len, dtype=np.float32)
+                n = lib.iqs_read(h, pi.ctypes.data, pq.ctypes.data)
+                if n <= 0:
+                    return
+                yield pi, pq, int(n)
+        finally:
+            lib.iqs_close(h)
+
+    def _blocks_numpy(self):
+        dtype, bpc = _FORMATS[self.fmt]
+        per_complex = 2 if self.fmt != "cf32" else 1
+        with open(self.path, "rb") as f:
+            while True:
+                raw = np.fromfile(f, dtype=dtype,
+                                  count=self.block_len * per_complex)
+                if raw.size == 0:
+                    return
+                n = raw.size // per_complex
+                iq = (raw.astype(np.complex64) if self.fmt == "cf32"
+                      else convert_to_c64(raw[: 2 * (raw.size // 2)], self.fmt))
+                pi = np.zeros(self.block_len, dtype=np.float32)
+                pq = np.zeros(self.block_len, dtype=np.float32)
+                pi[:n] = iq.real[:n]
+                pq[:n] = iq.imag[:n]
+                yield pi, pq, int(n)
+                if n < self.block_len:
+                    return
+
+
 class IQFileSource:
     """Stream an IQ file as fixed-size complex64 blocks.
 

@@ -1,0 +1,177 @@
+// Native streaming IQ reader: background prefetch + format conversion.
+//
+// TPU-native equivalent of the reference's dsp::stream / dsp::block runtime
+// (SURVEY.md C1/C2: double-buffered SPSC handoff with a worker thread per
+// block). Here one reader thread fills a ring of pre-converted float I/Q
+// plane buffers while the Python driver keeps the device busy — host file
+// IO and sample conversion overlap device compute instead of serializing
+// with it. Works on regular files and FIFOs/pipes (fread blocks until data
+// or EOF), so a live SDR front-end can feed the decoder through a pipe.
+//
+// Loaded via ctypes from sondetpu/io/iq.py (StreamingIQSource).
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+enum Fmt { kCF32 = 0, kCS16 = 1, kCS8 = 2, kCU8 = 3 };
+
+size_t bytes_per_complex(int fmt) {
+  switch (fmt) {
+    case kCF32: return 8;
+    case kCS16: return 4;
+    case kCS8: return 2;
+    case kCU8: return 2;
+  }
+  return 0;
+}
+
+struct Slot {
+  std::vector<float> plane_i, plane_q;
+  int64_t n_valid = 0;
+  bool ready = false;
+};
+
+struct Stream {
+  FILE *f = nullptr;
+  int fmt = kCF32;
+  int64_t block = 0;
+  float scale = 1.0f;
+  std::vector<Slot> slots;
+  std::vector<uint8_t> raw;
+  size_t head = 0, tail = 0;  // head: next slot to fill, tail: next to read
+  bool eof = false, stop = false;
+  std::mutex mu;
+  std::condition_variable cv_space, cv_data;
+  std::thread reader;
+
+  void convert(const uint8_t *src, Slot &s, int64_t n) {
+    float *di = s.plane_i.data(), *dq = s.plane_q.data();
+    switch (fmt) {
+      case kCF32: {
+        const float *p = reinterpret_cast<const float *>(src);
+        for (int64_t k = 0; k < n; ++k) {
+          di[k] = p[2 * k] * scale;
+          dq[k] = p[2 * k + 1] * scale;
+        }
+        break;
+      }
+      case kCS16: {
+        const int16_t *p = reinterpret_cast<const int16_t *>(src);
+        for (int64_t k = 0; k < n; ++k) {
+          di[k] = static_cast<float>(p[2 * k]) * scale;
+          dq[k] = static_cast<float>(p[2 * k + 1]) * scale;
+        }
+        break;
+      }
+      case kCS8: {
+        const int8_t *p = reinterpret_cast<const int8_t *>(src);
+        for (int64_t k = 0; k < n; ++k) {
+          di[k] = static_cast<float>(p[2 * k]) * scale;
+          dq[k] = static_cast<float>(p[2 * k + 1]) * scale;
+        }
+        break;
+      }
+      case kCU8: {
+        for (int64_t k = 0; k < n; ++k) {
+          di[k] = (static_cast<float>(src[2 * k]) - 127.5f) * scale;
+          dq[k] = (static_cast<float>(src[2 * k + 1]) - 127.5f) * scale;
+        }
+        break;
+      }
+    }
+    if (n < block) {
+      std::memset(di + n, 0, (block - n) * sizeof(float));
+      std::memset(dq + n, 0, (block - n) * sizeof(float));
+    }
+  }
+
+  void run() {
+    const size_t bpc = bytes_per_complex(fmt);
+    for (;;) {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return stop || !slots[head].ready; });
+      if (stop) return;
+      Slot &s = slots[head];
+      lk.unlock();
+
+      const size_t want = static_cast<size_t>(block) * bpc;
+      size_t got = fread(raw.data(), 1, want, f);
+      const int64_t n = static_cast<int64_t>(got / bpc);
+      if (n > 0) convert(raw.data(), s, n);
+      s.n_valid = n;
+
+      lk.lock();
+      s.ready = true;
+      head = (head + 1) % slots.size();
+      const bool at_eof = (got < want);
+      if (at_eof) eof = true;
+      cv_data.notify_one();
+      if (at_eof) return;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// depth = ring slots (>=2). Returns NULL on open failure.
+void *iqs_open(const char *path, int fmt, int64_t block_complex, float scale,
+               int depth) {
+  if (fmt < 0 || fmt > 3 || block_complex <= 0 || depth < 2) return nullptr;
+  FILE *f = fopen(path, "rb");
+  if (!f) return nullptr;
+  Stream *s = new Stream;
+  s->f = f;
+  s->fmt = fmt;
+  s->block = block_complex;
+  s->scale = scale;
+  s->slots.resize(depth);
+  for (auto &sl : s->slots) {
+    sl.plane_i.resize(block_complex);
+    sl.plane_q.resize(block_complex);
+  }
+  s->raw.resize(static_cast<size_t>(block_complex) * bytes_per_complex(fmt));
+  s->reader = std::thread([s] { s->run(); });
+  return s;
+}
+
+// Copies the next block's I/Q planes (block_complex floats each, zero-padded
+// past n_valid). Returns n_valid; 0 means end of stream.
+int64_t iqs_read(void *h, float *dst_i, float *dst_q) {
+  Stream *s = static_cast<Stream *>(h);
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->cv_data.wait(lk, [&] { return s->slots[s->tail].ready || s->eof; });
+  Slot &sl = s->slots[s->tail];
+  if (!sl.ready) return 0;  // eof and ring drained
+  const int64_t n = sl.n_valid;
+  if (n > 0) {
+    std::memcpy(dst_i, sl.plane_i.data(), s->block * sizeof(float));
+    std::memcpy(dst_q, sl.plane_q.data(), s->block * sizeof(float));
+  }
+  sl.ready = false;
+  s->tail = (s->tail + 1) % s->slots.size();
+  s->cv_space.notify_one();
+  return n;
+}
+
+void iqs_close(void *h) {
+  Stream *s = static_cast<Stream *>(h);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->stop = true;
+    s->cv_space.notify_all();
+  }
+  if (s->reader.joinable()) s->reader.join();
+  fclose(s->f);
+  delete s;
+}
+
+}  // extern "C"
