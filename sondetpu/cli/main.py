@@ -116,11 +116,25 @@ def cmd_decode(args) -> int:
         print(f"resumed from {args.resume} at block {sess.blocks_seen}",
               file=sys.stderr)
 
-    src = IQFileSource(args.iq, block_len=cfg.block_len, fmt=args.format)
-    for block, valid in src.blocks():
-        iq = np.tile(block[None, :], (cfg.channels, 1)) if cfg.channels > 1 \
-            else block[None, :]
-        sess.process_block(iq)
+    if args.stream:
+        # O(block)-memory path: the native reader thread prefetches and
+        # converts the next block while this one is on the device (works on
+        # FIFOs/pipes too, so a live SDR can feed the decoder)
+        from sondetpu.io.iq import StreamingIQSource
+        src_iter = ((pi, pq) for pi, pq, _ in StreamingIQSource(
+            args.iq, block_len=cfg.block_len, fmt=args.format).blocks())
+    else:
+        src = IQFileSource(args.iq, block_len=cfg.block_len, fmt=args.format)
+        src_iter = ((np.ascontiguousarray(b.real, dtype=np.float32),
+                     np.ascontiguousarray(b.imag, dtype=np.float32))
+                    for b, _ in src.blocks())
+    for pi, pq in src_iter:
+        if cfg.channels > 1:
+            pi = np.tile(pi[None, :], (cfg.channels, 1))
+            pq = np.tile(pq[None, :], (cfg.channels, 1))
+        else:
+            pi, pq = pi[None, :], pq[None, :]
+        sess.process_block((pi, pq))
         if args.status and sess.blocks_seen % args.status == 0:
             print(sess.metrics.status_line(), file=sys.stderr)
         if args.watchdog:
@@ -226,6 +240,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reset channels idle for N blocks")
     pd.add_argument("--checkpoint", default=None, help="save state on exit")
     pd.add_argument("--resume", default=None, help="restore state first")
+    pd.add_argument("--stream", action="store_true",
+                    help="stream the file/FIFO with the native prefetching "
+                         "reader (O(block) memory) instead of loading it")
     pd.add_argument("--wideband", action="store_true",
                     help="input is wideband; channelize per config channel_map")
     pd.add_argument("--bins", type=int, default=8,

@@ -142,6 +142,31 @@ def test_cli_synth_decode_roundtrip(tmp_path):
     assert open(gpxf).read().endswith("</gpx>\n")
 
 
+def test_cli_stream_decode_matches_file_decode(tmp_path):
+    """--stream (native prefetching reader, O(block) memory) decodes the
+    same frames as the load-whole-file path."""
+    import os
+    iqf = str(tmp_path / "x.cs16")
+    full_env = dict(os.environ)
+    full_env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "."})
+    r = subprocess.run([sys.executable, "-m", "sondetpu.cli.main", "synth",
+                        "--sonde", "rs41", "--frames", "4", "--snr", "8",
+                        "--format", "cs16", "--out", iqf],
+                       capture_output=True, text=True, env=full_env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    metrics = {}
+    for mode, extra in (("plain", []), ("stream", ["--stream"])):
+        jf = str(tmp_path / f"{mode}.jsonl")
+        r = subprocess.run([sys.executable, "-m", "sondetpu.cli.main", "decode",
+                            "--iq", iqf, "--sonde", "rs41", "--jsonl", jf] + extra,
+                           capture_output=True, text=True, env=full_env,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        metrics[mode] = json.loads(r.stderr.strip().splitlines()[-1])
+    assert metrics["stream"]["frames_decoded"] == metrics["plain"]["frames_decoded"]
+    assert metrics["stream"]["frames_decoded"] >= 3
+
+
 def test_cli_types():
     import os
     full_env = dict(os.environ)
