@@ -31,8 +31,9 @@ def main():
     from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
 
     channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    block_len = 48000          # 1 second of 48 kHz IQ per step
-    fs = 48000.0
+    block_secs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    block_len = 48000 * block_secs   # multi-second blocks amortize the
+    fs = 48000.0                     # RTT-dominated dispatch + readback
 
     cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=block_len)
     pipe = Pipeline(cfg)
@@ -40,14 +41,18 @@ def main():
 
     # real modulated signal (so the datapath sees representative values)
     mod = RS41Modulator()
-    iq1 = mod.modulate([RS41Truth(frame_no=i) for i in range(2)], fs=fs)[:block_len]
+    n_truth = 2 * block_secs + 1
+    iq1 = mod.modulate([RS41Truth(frame_no=i) for i in range(n_truth)],
+                       fs=fs)[:block_len]
     rng = np.random.default_rng(0)
-    iq = np.tile(iq1[None, :], (channels, 1))
-    iq += (rng.normal(size=iq.shape) + 1j * rng.normal(size=iq.shape)).astype(
-        np.complex64) * 0.1
-    # upload as float32 I/Q planes (complex64 stays host-side by design)
-    iq_i = jax.device_put(np.ascontiguousarray(iq.real.astype(np.float32)))
-    iq_q = jax.device_put(np.ascontiguousarray(iq.imag.astype(np.float32)))
+    noisy = iq1 + (rng.normal(size=iq1.shape) + 1j * rng.normal(size=iq1.shape)
+                   ).astype(np.complex64) * 0.1
+    # upload as float32 I/Q planes (complex64 stays host-side by design);
+    # tile in float32 so the host never materializes a [C, n] complex array
+    iq_i = jax.device_put(np.tile(noisy.real.astype(np.float32)[None, :],
+                                  (channels, 1)))
+    iq_q = jax.device_put(np.tile(noisy.imag.astype(np.float32)[None, :],
+                                  (channels, 1)))
 
     # warmup / compile
     state, out = pipe.step(state, (iq_i, iq_q))
@@ -66,12 +71,16 @@ def main():
         # is read, so host readback overlaps device compute
         state, out = pipe.step(state, (iq_i, iq_q))
         if prev is not None:
-            valid = np.asarray(prev.frame_valid)
+            # ONE packed readback (frames + validity + quality): the link is
+            # RTT-dominated, so steady state is a single transfer per block
+            from sondetpu.runtime.pipeline import unpack_block_output
+            _, valid, _ = unpack_block_output(
+                np.asarray(prev.packed), cfg.k_slots, 320)
             frames_found += int(valid.sum())
-            _ = np.asarray(prev.frames)
         prev = out
         times.append(time.perf_counter() - t0)
-    valid = np.asarray(prev.frame_valid)
+    from sondetpu.runtime.pipeline import unpack_block_output
+    _, valid, _ = unpack_block_output(np.asarray(prev.packed), cfg.k_slots, 320)
     frames_found += int(valid.sum())
     # the TPU here sits behind a shared tunnel with bursty latency; the
     # minimum over steady-state iterations is the sustainable rate (iter 0

@@ -38,7 +38,8 @@ class PipelineConfig:
     channels: int = 8
     fs: float = 48000.0            # channel IQ sample rate
     block_len: int = 48000         # IQ samples per step (1 s)
-    max_frames: int = 4            # frame slots per channel per block
+    max_frames: Optional[int] = None  # frame slots per channel per block;
+                                   # None = auto (just enough for the block)
     sync_threshold: float = 0.6    # normalized correlation acceptance
     ntaps: int = 41                # matched/lowpass filter taps
     dc_block: bool = True          # remove residual carrier offset per block
@@ -100,6 +101,16 @@ class PipelineConfig:
         return self.spec.chips_per_frame
 
     @property
+    def k_slots(self) -> int:
+        """Frame slots per channel per block. Frames are deduped on "end
+        lies in this block's new chips", so at most ceil(cpb/frame_chips)
+        can complete per block; +1 margin for sync jitter. Sizing the slots
+        to the block keeps the (RTT-dominated) host readback minimal."""
+        if self.max_frames is not None:
+            return self.max_frames
+        return int(np.ceil(self.chips_per_block / self.frame_chips)) + 1
+
+    @property
     def buf_len(self) -> int:
         # ring holds one full frame of history plus a block of new chips
         return self.frame_chips + self.chip_cap
@@ -125,6 +136,26 @@ class BlockOutput(NamedTuple):
     frame_valid: jax.Array  # [C, K] bool
     frame_score: jax.Array  # [C, K] float32 sync correlation
     soft_rms: jax.Array     # [C] float32 chip-level signal quality
+    # frames + valid + soft_rms packed into ONE FLAT uint8 buffer of
+    # C * (K*frame_bytes + K + 4) bytes: the steady-state host readback is a
+    # single transfer (the device link is RTT-dominated, and 2-D arrays
+    # transfer ~3x slower than flat buffers through it — measured 18 vs
+    # 49 MB/s). Unpack with unpack_block_output().
+    packed: jax.Array
+
+
+def unpack_block_output(packed: np.ndarray, k_slots: int, frame_bytes: int):
+    """Split a host copy of BlockOutput.packed into (frames [C, K, fb] uint8,
+    valid [C, K] bool, soft_rms [C] float32)."""
+    row = k_slots * frame_bytes + k_slots + 4
+    c = packed.size // row
+    packed = packed.reshape(c, row)
+    fbk = k_slots * frame_bytes
+    frames = packed[:, :fbk].reshape(c, k_slots, frame_bytes)
+    valid = packed[:, fbk:fbk + k_slots].astype(bool)
+    soft_rms = np.ascontiguousarray(packed[:, fbk + k_slots: fbk + k_slots + 4]
+                                    ).view(np.float32)[:, 0]
+    return frames, valid, soft_rms
 
 
 class Pipeline:
@@ -369,7 +400,7 @@ class Pipeline:
             corr = jnp.maximum(corr[:, :m], corr2[:, :m])
         min_dist = max(self.config.frame_chips // 4, self._template.shape[0])
         starts, ok = find_frame_starts(corr, self.config.sync_threshold,
-                                       c.max_frames, min_dist)
+                                       c.k_slots, min_dist)
         frames_soft, fit = gather_frames(chipbuf, starts, ok, c.frame_chips)
         # dedup across blocks: only frames whose END lies in the new chips
         is_new = (starts + c.frame_chips) > (c.buf_len - nvalid)
@@ -395,11 +426,18 @@ class Pipeline:
         score = jnp.take_along_axis(
             jnp.pad(corr, ((0, 0), (0, c.frame_chips))), starts, axis=-1)
 
+        soft_rms = jnp.sqrt(jnp.mean(soft * soft, axis=-1))
+        packed = jnp.concatenate([
+            frames.reshape(frames.shape[0], -1),
+            frame_valid.astype(jnp.uint8),
+            jax.lax.bitcast_convert_type(soft_rms, jnp.uint8),
+        ], axis=-1).reshape(-1)
         out = BlockOutput(
             frames=frames,
             frame_valid=frame_valid,
             frame_score=score,
-            soft_rms=jnp.sqrt(jnp.mean(soft * soft, axis=-1)),
+            soft_rms=soft_rms,
+            packed=packed,
         )
         new_state = PipelineState(chan_tail_i=new_ctail_i, chan_tail_q=new_ctail_q,
                                   fm_prev=fm_state, fir=fir_state, timing=timing_state,

@@ -81,8 +81,7 @@ class DecoderSession:
                 self.metrics.on_block(self.config.block_len,
                                       time.perf_counter() - t0, 0, 0, 0)
                 return []
-        updates, frames_raw, decoded = self._handle_output(out)
-        soft_rms = np.asarray(out.soft_rms)
+        updates, frames_raw, decoded, soft_rms = self._handle_output(out)
         self.metrics.on_block(
             n_samples_per_chan=self.config.block_len,
             wall_seconds=time.perf_counter() - t0,
@@ -95,17 +94,22 @@ class DecoderSession:
         if not self.pipelined or self._pending is None:
             return []
         out, self._pending = self._pending, None
-        updates, frames_raw, decoded = self._handle_output(out)
+        updates, frames_raw, decoded, soft_rms = self._handle_output(out)
         self.metrics.on_block(0, 0.0, frames_raw, decoded, len(updates),
-                              np.asarray(out.soft_rms))
+                              soft_rms)
         return updates
 
     def _handle_output(self, out: BlockOutput):
-        valid = np.asarray(out.frame_valid)
+        # ONE device->host transfer per block (the link is RTT-dominated):
+        # frames, validity, and signal quality come packed in a single buffer
+        from sondetpu.runtime.pipeline import unpack_block_output
+        packed = np.asarray(out.packed)
+        all_frames, valid, soft_rms = unpack_block_output(
+            packed, self.config.k_slots, self.config.spec.frame_bytes)
         if not valid.any():
-            return [], 0, 0
+            return [], 0, 0, soft_rms
         ch_idx, slot_idx = np.nonzero(valid)
-        frames = np.asarray(out.frames)[ch_idx, slot_idx]     # [n, frame_bytes]
+        frames = all_frames[ch_idx, slot_idx]                 # [n, frame_bytes]
         self.frames_seen += frames.shape[0]
         # frames arrive as descrambled bytes (packed + de-whitened on device)
         frags = self.decoder.decode_byte_frames(frames, ch_idx)
@@ -119,4 +123,4 @@ class DecoderSession:
                 updates.append((int(ch), snap))
                 if self.on_update:
                     self.on_update(int(ch), snap)
-        return updates, int(frames.shape[0]), len(frags)
+        return updates, int(frames.shape[0]), len(frags), soft_rms
