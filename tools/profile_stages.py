@@ -6,6 +6,7 @@ tiny reduction of the stage output (np.asarray of a scalar), which costs a
 constant ~23 ms RTT — compare stages relative to the 'noop' row.
 """
 import sys
+sys.path.insert(0, "/root/repo")
 import time
 import numpy as np
 import jax
@@ -37,8 +38,9 @@ def bench(name, fn, *args, iters=5):
 
 cfg = PipelineConfig(sonde="rs41", channels=C, block_len=N)
 pipe = Pipeline(cfg)
-x = jax.device_put(rng.normal(size=(C, N)).astype(np.float32))
-y = jax.device_put(rng.normal(size=(C, N)).astype(np.float32))
+row = rng.normal(size=N).astype(np.float32)
+x = jax.device_put(np.tile(row[None], (C, 1)))
+y = jax.device_put(np.tile(row[None] * 0.7, (C, 1)))
 taps = design_lowpass(2640.0, 48000.0, 41)
 
 bench("noop (RTT floor)", lambda a: a[:1, :1], x)
@@ -47,8 +49,9 @@ bench("chan filter conv s2 (I+Q)", lambda a, b: (
     + _apply_windows(jnp.pad(b, ((0, 0), (40, 0))), taps, stride=2)), x, y)
 
 M = N // 2
-xh = jax.device_put(rng.normal(size=(C, M)).astype(np.float32))
-yh = jax.device_put(rng.normal(size=(C, M)).astype(np.float32))
+rowh = rng.normal(size=M).astype(np.float32)
+xh = jax.device_put(np.tile(rowh[None], (C, 1)))
+yh = jax.device_put(np.tile(rowh[None] * 0.9, (C, 1)))
 
 
 def fm(a, b):
@@ -64,7 +67,8 @@ bench("fm demod + dc", fm, xh, yh)
 bench("matched fir", lambda a: _apply_windows(jnp.pad(a, ((0, 0), (40, 0))), taps), xh)
 bench("oerder_meyr tau", lambda a: oerder_meyr_tau(a, 5.0), xh)
 
-buf = jax.device_put(rng.normal(size=(C, cfg.buf_len)).astype(np.float32))
+buf = jax.device_put(np.tile(rng.normal(size=cfg.buf_len).astype(np.float32)[None],
+                             (C, 1)))
 tmpl = pipe._template
 bench("syncword correlator", lambda a: correlate_syncword(a, tmpl), buf)
 
