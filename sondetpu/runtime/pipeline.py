@@ -406,7 +406,7 @@ class Pipeline:
         # and whose start lies within real (filled) history
         in_hist = starts >= (c.buf_len - buf_fill)[:, None]
         fit = (starts + c.frame_chips) <= c.buf_len
-        frame_valid = fit & is_new & in_hist
+        frame_valid = ok & fit & is_new & in_hist
         # chip -> byte assembly on device (8x smaller host readback)
         spec = c.spec
         w = np.array([1, 2, 4, 8, 16, 32, 64, 128] if spec.lsb_first

@@ -30,14 +30,10 @@ def correlate_syncword(soft: jax.Array, template: jax.Array) -> jax.Array:
     Returns corr [channels, n - L + 1]; corr[c, i] = sum_k soft[c, i+k]*t[k],
     normalized so a perfect hard match scores 1.0.
     """
+    from sondetpu.dsp.fir import _conv1d
+
     template = jnp.asarray(template, jnp.float32)
-    L = template.shape[0]
-    x = soft[:, None, :]                                   # [C, 1, n]
-    k = template[None, None, :]                            # [1, 1, L]
-    out = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))
-    return out[:, 0, :] / L
+    return _conv1d(soft, template) / template.shape[0]
 
 
 def find_frame_starts(corr: jax.Array, threshold: float, max_peaks: int,

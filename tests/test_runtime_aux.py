@@ -186,6 +186,16 @@ def test_fer_sweep_shape():
     assert res["points"][0]["fer"] <= 0.5
 
 
+def test_fer_rs41_10db_acceptance():
+    """BASELINE.json:5 acceptance point: FER at 10 dB SNR must match the CPU
+    reference. The reference decodes RS41 cleanly at 10 dB (RS(255,231)
+    corrects what little the channel corrupts); this pipeline must too."""
+    from sondetpu.bench.fer import fer_sweep
+
+    res = fer_sweep("rs41", [10.0], n_frames=10, seed=3)
+    assert res["points"][0]["fer"] == 0.0, res
+
+
 def test_cli_wideband_mixed_fleet(tmp_path):
     """CLI wideband decode: a config channel_map routes PFB bins to sonde
     types; telemetry comes out tagged per channel (BASELINE.json:11)."""
