@@ -137,6 +137,11 @@ def cmd_decode(args) -> int:
         sess.process_block((pi, pq))
         if args.status and sess.blocks_seen % args.status == 0:
             print(sess.metrics.status_line(), file=sys.stderr)
+        if args.table and sess.blocks_seen % args.table == 0:
+            from sondetpu.io.table import CLEAR, render_table
+            rows = {ch: (cfg.sonde, t) for ch, t in sess.telemetry.items()}
+            print(CLEAR + render_table(
+                rows, title=sess.metrics.status_line()), file=sys.stderr)
         if args.watchdog:
             sess.watchdog(args.watchdog)
     if args.checkpoint:
@@ -171,19 +176,37 @@ def _decode_wideband(args, cfg) -> int:
         chans.append(FleetChannel(pfb_bin=k, sonde=entry.sonde, offset_hz=resid))
 
     on_update, sinks = _make_sinks(args)
+    latest = {}
+
+    def fleet_update(ch, sonde, t):
+        latest[ch] = (sonde, t)
+        on_update(ch, t, sonde)
+
     fleet = FleetSession(
         chans, n_bins=n_bins, fs_chan=fs_chan, block_len=cfg.block_len,
         sync_threshold=cfg.sync_threshold, use_pallas=cfg.use_pallas,
-        on_update=lambda ch, sonde, t: on_update(ch, t, sonde))
+        on_update=fleet_update)
     w = n_bins * cfg.block_len
-    src = IQFileSource(args.iq, block_len=w, fmt=args.format)
+    if args.stream:
+        from sondetpu.io.iq import StreamingIQSource
+        blk_iter = ((pi + 1j * pq).astype(np.complex64) for pi, pq, _ in
+                    StreamingIQSource(args.iq, block_len=w,
+                                      fmt=args.format).blocks())
+    else:
+        blk_iter = (b for b, _ in
+                    IQFileSource(args.iq, block_len=w, fmt=args.format).blocks())
     blocks = 0
     updates = 0
-    for block, valid in src.blocks():
+    for block in blk_iter:
         updates += fleet.process_wideband(block)
         blocks += 1
         if args.status and blocks % args.status == 0:
             print(f"[wideband] blocks={blocks} updates={updates}", file=sys.stderr)
+        if args.table and blocks % args.table == 0:
+            from sondetpu.io.table import CLEAR, render_table
+            print(CLEAR + render_table(
+                latest, title=f"[wideband] blocks={blocks} updates={updates}"),
+                file=sys.stderr)
     for s in sinks:
         if s:
             s.deinit()
@@ -236,6 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--jsonl", default=None)
     pd.add_argument("--status", type=int, default=0,
                     help="print a status line every N blocks")
+    pd.add_argument("--table", type=int, default=0,
+                    help="redraw a live per-channel telemetry table every "
+                         "N blocks (the reference GUI's table, headless)")
     pd.add_argument("--watchdog", type=int, default=0,
                     help="reset channels idle for N blocks")
     pd.add_argument("--checkpoint", default=None, help="save state on exit")

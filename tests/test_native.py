@@ -145,6 +145,33 @@ def test_streaming_iq_source_matches_file_source(tmp_path):
         np.testing.assert_allclose(pq, rb.imag.astype(np.float32), atol=1e-6)
 
 
+def test_streaming_iq_source_reads_fifo(tmp_path):
+    """The native reader works on FIFOs (live SDR piping into the decoder)."""
+    import os
+    import threading
+
+    from sondetpu.io.iq import StreamingIQSource
+
+    fifo = str(tmp_path / "iq.fifo")
+    os.mkfifo(fifo)
+    rng = np.random.default_rng(8)
+    n = 2500
+    inter = rng.integers(-3000, 3000, size=2 * n).astype(np.int16)
+
+    def writer():
+        with open(fifo, "wb") as f:
+            f.write(inter.tobytes())
+
+    t = threading.Thread(target=writer)
+    t.start()
+    got = list(StreamingIQSource(fifo, block_len=1000, fmt="cs16").blocks())
+    t.join()
+    assert [v for _, _, v in got] == [1000, 1000, 500]
+    joined = np.concatenate([pi[:v] for pi, _, v in got])
+    np.testing.assert_allclose(
+        joined, inter[0::2].astype(np.float32)[:n] / 32768.0, atol=1e-7)
+
+
 def test_streaming_iq_numpy_fallback_matches_native(tmp_path, monkeypatch):
     from sondetpu.io import iq as iqmod
     rng = np.random.default_rng(6)

@@ -93,6 +93,25 @@ def test_ptu_csv_schema(tmp_path):
     assert cols[11] == "O3=1.50mPa"
 
 
+def test_table_render_uncal_styling():
+    """Live table mirrors the reference GUI semantics (main.cpp:155-297):
+    uncalibrated PTU values yellow with the calib percentage; N/S and E/W
+    hemisphere suffixes; burstkill/aux columns present."""
+    from sondetpu.io.table import render_table
+    from sondetpu.telemetry import SondeTelemetry
+
+    t = SondeTelemetry(serial="T1", seq=7, lat=-12.5, lon=-45.25, alt=8000.0,
+                       temp=-10.0, rh=50.0, dewpt=-18.0, pressure=350.0,
+                       calibrated=False, calib_percent=40.0)
+    out = render_table({3: ("rs41", t)})
+    assert "12.5000S" in out and "45.2500W" in out
+    assert "\x1b[33m" in out and "(40%)" in out      # yellow + percent
+    t.calibrated = True
+    out = render_table({3: ("rs41", t)})
+    assert "\x1b[33m" not in out and "(40%)" not in out
+    assert "T1" in out and "350.0" in out
+
+
 def test_jsonl_sink(tmp_path):
     p = tmp_path / "t.jsonl"
     w = JSONLWriter(str(p))
