@@ -136,9 +136,10 @@ class BlockOutput(NamedTuple):
     frame_valid: jax.Array  # [C, K] bool
     frame_score: jax.Array  # [C, K] float32 sync correlation
     soft_rms: jax.Array     # [C] float32 chip-level signal quality
-    # frames + valid + soft_rms packed into ONE FLAT uint8 buffer of
-    # C * (K*frame_bytes + K + 4) bytes: the steady-state host readback is a
-    # single transfer (the device link is RTT-dominated, and 2-D arrays
+    rs_clean: jax.Array     # [C, K] bool: frame's RS syndromes all zero
+    # frames + valid + rs_clean + soft_rms packed into ONE FLAT uint8 buffer
+    # of C * (K*frame_bytes + 2K + 4) bytes: the steady-state host readback
+    # is a single transfer (the device link is RTT-dominated, and 2-D arrays
     # transfer ~3x slower than flat buffers through it — measured 18 vs
     # 49 MB/s). Unpack with unpack_block_output().
     packed: jax.Array
@@ -146,16 +147,18 @@ class BlockOutput(NamedTuple):
 
 def unpack_block_output(packed: np.ndarray, k_slots: int, frame_bytes: int):
     """Split a host copy of BlockOutput.packed into (frames [C, K, fb] uint8,
-    valid [C, K] bool, soft_rms [C] float32)."""
-    row = k_slots * frame_bytes + k_slots + 4
+    valid [C, K] bool, rs_clean [C, K] bool, soft_rms [C] float32)."""
+    row = k_slots * frame_bytes + 2 * k_slots + 4
     c = packed.size // row
     packed = packed.reshape(c, row)
     fbk = k_slots * frame_bytes
     frames = packed[:, :fbk].reshape(c, k_slots, frame_bytes)
     valid = packed[:, fbk:fbk + k_slots].astype(bool)
-    soft_rms = np.ascontiguousarray(packed[:, fbk + k_slots: fbk + k_slots + 4]
+    rs_clean = packed[:, fbk + k_slots: fbk + 2 * k_slots].astype(bool)
+    off = fbk + 2 * k_slots
+    soft_rms = np.ascontiguousarray(packed[:, off:off + 4]
                                     ).view(np.float32)[:, 0]
-    return frames, valid, soft_rms
+    return frames, valid, rs_clean, soft_rms
 
 
 class Pipeline:
@@ -447,9 +450,24 @@ class Pipeline:
             jnp.pad(corr, ((0, 0), (0, c.frame_chips))), starts, axis=-1)
 
         soft_rms = jnp.sqrt(jnp.mean(soft * soft, axis=-1))
+        # decode-stage device kernel: RS syndrome check as a GF(2) matmul —
+        # frames flagged clean skip host FEC entirely (fec/syndrome.py)
+        rs_layout = spec.extra.get("rs")
+        if rs_layout is not None:
+            if self._pallas:
+                from sondetpu.pallas.syndrome import rs_clean_flags_pallas
+                rs_clean = rs_clean_flags_pallas(
+                    frames, rs_layout, interpret=self._pallas_interpret)
+            else:
+                from sondetpu.fec.syndrome import rs_clean_flags
+                rs_clean = rs_clean_flags(frames, rs_layout)
+            rs_clean = rs_clean & frame_valid
+        else:
+            rs_clean = jnp.zeros_like(frame_valid)
         packed = jnp.concatenate([
             frames.reshape(frames.shape[0], -1),
             frame_valid.astype(jnp.uint8),
+            rs_clean.astype(jnp.uint8),
             jax.lax.bitcast_convert_type(soft_rms, jnp.uint8),
         ], axis=-1).reshape(-1)
         out = BlockOutput(
@@ -457,6 +475,7 @@ class Pipeline:
             frame_valid=frame_valid,
             frame_score=score,
             soft_rms=soft_rms,
+            rs_clean=rs_clean,
             packed=packed,
         )
         new_state = PipelineState(chan_tail_i=new_ctail_i, chan_tail_q=new_ctail_q,

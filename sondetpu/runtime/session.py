@@ -104,15 +104,21 @@ class DecoderSession:
         # frames, validity, and signal quality come packed in a single buffer
         from sondetpu.runtime.pipeline import unpack_block_output
         packed = np.asarray(out.packed)
-        all_frames, valid, soft_rms = unpack_block_output(
+        all_frames, valid, rs_clean, soft_rms = unpack_block_output(
             packed, self.config.k_slots, self.config.spec.frame_bytes)
         if not valid.any():
             return [], 0, 0, soft_rms
         ch_idx, slot_idx = np.nonzero(valid)
         frames = all_frames[ch_idx, slot_idx]                 # [n, frame_bytes]
         self.frames_seen += frames.shape[0]
-        # frames arrive as descrambled bytes (packed + de-whitened on device)
-        frags = self.decoder.decode_byte_frames(frames, ch_idx)
+        # frames arrive as descrambled bytes (packed + de-whitened on device);
+        # decoders that understand the device RS-syndrome verdict skip host
+        # FEC for clean frames
+        if getattr(self.decoder, "wants_rs_clean", False):
+            frags = self.decoder.decode_byte_frames(
+                frames, ch_idx, rs_clean=rs_clean[ch_idx, slot_idx])
+        else:
+            frags = self.decoder.decode_byte_frames(frames, ch_idx)
         updates: List[Tuple[int, SondeTelemetry]] = []
         for ch, frag in frags:
             telem = self.telemetry.setdefault(int(ch), SondeTelemetry())

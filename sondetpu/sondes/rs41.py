@@ -115,8 +115,11 @@ SPEC = ProtocolSpec(
     frame_bytes=FRAME_BYTES,
     line_code="nrz",
     deviation=2400.0,
-    # the device pipeline packs bits to bytes and de-whitens on-device
-    extra={"whitening": WHITENING_MASK},
+    # the device pipeline packs bits to bytes, de-whitens, and RS-syndrome
+    # classifies frames on-device ("rs" feeds fec/syndrome.py's GF(2) matmul)
+    extra={"whitening": WHITENING_MASK,
+           "rs": {"data_start": DATA_START, "parity_start": 8, "nroots": 24,
+                  "interleave": 2, "fcr": 0, "prim": 0x11D}},
 )
 
 
@@ -213,6 +216,9 @@ class RS41Decoder(SondeDecoderBase):
     """Host-side RS41 frame decoder with per-channel calibration state."""
 
     spec = SPEC
+    # accepts the device's RS-syndrome verdict (runtime/session.py): frames
+    # flagged clean skip the host RS machinery entirely
+    wants_rs_clean = True
 
     def __init__(self):
         self._cal: Dict[int, _ChannelCal] = {}
@@ -226,13 +232,16 @@ class RS41Decoder(SondeDecoderBase):
         raw = np_bits_to_bytes(np.asarray(chips, dtype=np.uint8), lsb_first=True)
         return self.decode_byte_frames(scramble(raw), channels)
 
-    def decode_byte_frames(self, frames: np.ndarray, channels) -> List[Tuple[int, TelemetryFragment]]:
+    def decode_byte_frames(self, frames: np.ndarray, channels,
+                           rs_clean=None) -> List[Tuple[int, TelemetryFragment]]:
         """frames: [n, L] descrambled bytes (L = 320, or 518 when the
         pipeline gathers extended frames); returns (channel, fragment).
 
         Standard and extended frames are dispatched on the frame-type byte
         (0x38): a 518-byte gather of a standard sonde parses its first 320
-        bytes; extended sondes need L >= 518 (use sonde type "rs41x")."""
+        bytes; extended sondes need L >= 518 (use sonde type "rs41x").
+        ``rs_clean`` [n] carries the device RS-syndrome verdict — True rows
+        need no host RS correction."""
         frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
         channels = np.asarray(channels)
         L = frames.shape[1]
@@ -249,12 +258,31 @@ class RS41Decoder(SondeDecoderBase):
                 sel = sel | ((types != FRAME_TYPE_EXT) & (types != FRAME_TYPE_STD))
             if not sel.any():
                 continue
+            # the device syndrome check ran on the full gathered length;
+            # truncating a 518-byte gather to a 320-byte standard frame
+            # changes the codeword, so the verdict only carries over when
+            # the lengths agree
+            clean_sel = (np.asarray(rs_clean, bool)[sel]
+                         if rs_clean is not None and flen == L else None)
             out.extend(self._decode_uniform(frames[sel][:, :flen],
-                                            channels[sel], _offsets_for(ftype)))
+                                            channels[sel], _offsets_for(ftype),
+                                            clean_sel))
         return out
 
-    def _decode_uniform(self, frames: np.ndarray, channels, offsets):
-        corrected, _, rs_ok = rs_decode_frames(frames)
+    def _decode_uniform(self, frames: np.ndarray, channels, offsets,
+                        rs_clean=None):
+        if rs_clean is not None and rs_clean.any():
+            # device verdict: clean rows skip RS entirely; run the decoder
+            # only on suspects
+            corrected = frames.copy()
+            rs_ok = np.ones(frames.shape[0], dtype=bool)
+            dirty = ~rs_clean
+            if dirty.any():
+                corr_d, _, ok_d = rs_decode_frames(frames[dirty])
+                corrected[dirty] = corr_d
+                rs_ok[dirty] = ok_d
+        else:
+            corrected, _, rs_ok = rs_decode_frames(frames)
         # batch-verify every block's header + CRC across all frames at once
         # (per-frame python CRC was the parse hot spot at 1000+ channels)
         blk_ok = {}
@@ -496,7 +524,9 @@ SPEC_EXT = ProtocolSpec(
     frame_bytes=FRAME_BYTES_EXT,
     line_code="nrz",
     deviation=2400.0,
-    extra={"whitening": WHITENING_MASK},
+    extra={"whitening": WHITENING_MASK,
+           "rs": {"data_start": DATA_START, "parity_start": 8, "nroots": 24,
+                  "interleave": 2, "fcr": 0, "prim": 0x11D}},
 )
 
 
