@@ -39,7 +39,7 @@ class FleetSession:
     def __init__(self, channels: Sequence[FleetChannel], n_bins: int,
                  fs_chan: float = 48000.0, block_len: int = 48000,
                  sync_threshold: float = 0.55, use_pallas: bool = False,
-                 on_update=None):
+                 on_update=None, mesh=None):
         self.channels = list(channels)
         self.pfb = PFBChannelizer(n_bins)
         self.pfb_state = self.pfb.init_state()
@@ -59,7 +59,13 @@ class FleetSession:
                                  sync_threshold=sync_threshold,
                                  use_pallas=use_pallas,
                                  fine_offsets=offs if any(offs) else None)
-            sess = DecoderSession(cfg, on_update=self._wrap(sonde, idxs, on_update))
+            # shard a group over the mesh when its channel count divides the
+            # mesh size; smaller groups stay single-device (heterogeneous
+            # fleets mix both, BASELINE.json:11)
+            group_mesh = mesh if (mesh is not None
+                                  and len(idxs) % mesh.devices.size == 0) else None
+            sess = DecoderSession(cfg, on_update=self._wrap(sonde, idxs, on_update),
+                                  mesh=group_mesh)
             self.groups[sonde] = (idxs, sess)
 
     def _wrap(self, sonde: str, idxs: List[int], on_update):

@@ -30,10 +30,21 @@ class DecoderSession:
 
     def __init__(self, config: PipelineConfig,
                  on_update: Optional[Callable[[int, SondeTelemetry], None]] = None,
-                 pipelined: bool = False):
+                 pipelined: bool = False, mesh=None):
         self.config = config
         self.pipeline = Pipeline(config)
         self.state = self.pipeline.init_state()
+        # multi-chip: shard the channel axis of state + IQ over the mesh and
+        # run the step SPMD (SURVEY.md §2.4 channel parallelism). Channels
+        # must divide by the mesh size.
+        self.mesh = mesh
+        self._shard_fn = None
+        self._sharded_step = None
+        if mesh is not None:
+            from sondetpu.parallel.sharding import sharded_pipeline_step
+            self._sharded_step, self._shard_fn = sharded_pipeline_step(
+                self.pipeline, mesh)
+            self.state = self._shard_fn(self.state)
         self.decoder = get_sonde(config.sonde)["decoder"]()
         self.telemetry: Dict[int, SondeTelemetry] = {}
         self.on_update = on_update
@@ -73,7 +84,17 @@ class DecoderSession:
         Returns (channel, telemetry snapshot) updates (for the previous
         block when ``pipelined``)."""
         t0 = time.perf_counter()
-        self.state, out = self.pipeline.step(self.state, iq)
+        if self.mesh is not None:
+            if isinstance(iq, tuple):
+                pi, pq = iq
+            else:
+                from sondetpu.io.iq import c64_to_planes
+                pi, pq = c64_to_planes(np.asarray(iq))
+            self.state, out = self._sharded_step(
+                self.state, self._shard_fn(np.asarray(pi)),
+                self._shard_fn(np.asarray(pq)))
+        else:
+            self.state, out = self.pipeline.step(self.state, iq)
         self.blocks_seen += 1
         if self.pipelined:
             out, self._pending = self._pending, out

@@ -68,3 +68,54 @@ def test_mixed_fleet_wideband():
     assert telem[0].lat == pytest.approx(45.0, abs=1e-4)
     assert telem[1].lat == pytest.approx(52.2, abs=1e-4)
     assert telem[2].lat == pytest.approx(47.0, abs=1e-4)
+
+
+def test_mixed_fleet_sharded_over_mesh():
+    """Heterogeneous fleet with a type group whose channel axis is sharded
+    over the 8-device mesh (BASELINE.json:11 "Mixed-fleet wideband: 1000+
+    heterogeneous channels sharded across N>=2 hosts", exercised here on
+    the virtual CPU mesh): 16 RS41 channels (sharded 8-way SPMD) + 1 M10
+    channel (single-device) in one wideband stream."""
+    from sondetpu.parallel import make_mesh
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    n_bins = 32
+    fs_chan = 48000.0
+    fs_wide = n_bins * fs_chan
+    mesh = make_mesh()
+
+    chans = [FleetChannel(pfb_bin=1 + k, sonde="rs41") for k in range(16)]
+    chans.append(FleetChannel(pfb_bin=20, sonde="m10"))
+    fleet = FleetSession(chans, n_bins=n_bins, mesh=mesh)
+    rs_sess = fleet.groups["rs41"][1]
+    m10_sess = fleet.groups["m10"][1]
+    assert rs_sess.mesh is mesh          # 16 % 8 == 0 -> sharded
+    assert m10_sess.mesh is None         # 1 channel stays single-device
+
+    centers = fleet.pfb.center_freqs(fs_wide)
+    rs41 = RS41Modulator()
+    bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=30 + i)) for i in range(3)]))
+    m10 = M10Modulator()
+    m10_chips = m10.frames_to_chips(np.stack(
+        [m10.build_frame(M10Truth(frame_no=8 + i)) for i in range(10)]))
+
+    w = n_bins * 48000
+    sigs = [_narrowband_at_wideband(bits, 4800.0, 2400.0, fs_wide,
+                                    centers[1 + k]) for k in range(16)]
+    sigs.append(_narrowband_at_wideband(m10_chips, 9600.0, 12000.0, fs_wide,
+                                        centers[20], bt=0.7))
+    n = ((max(s.size for s in sigs) + w - 1) // w) * w
+    wide = np.zeros(n, np.complex64)
+    for s in sigs:
+        wide[:s.size] += s
+
+    for i in range(0, n - w + 1, w):
+        fleet.process_wideband(wide[i:i + w])
+
+    telem = fleet.telemetry
+    for k in range(16):
+        assert k in telem and telem[k].serial == "S1234567", k
+        assert telem[k].lat == pytest.approx(45.0, abs=1e-4)
+    assert 16 in telem and telem[16].serial == "ME10A00001"
