@@ -90,24 +90,6 @@ def frame_syndrome_matrix(frame_bytes: int, data_start: int, parity_start: int,
     return w
 
 
-def extract_codewords(frames, data_start: int, parity_start: int,
-                      nroots: int, interleave: int):
-    """frames [..., frame_bytes] -> codewords [..., interleave, n].
-
-    The RS41 layout: codeword i protects frames[data_start + interleave*k + i]
-    with parity at frames[parity_start + nroots*i : parity_start + nroots*(i+1)]
-    (sondetpu/sondes/rs41.py rs_decode_frames)."""
-    fb = frames.shape[-1]
-    nrs = (fb - data_start) // interleave
-    cws = []
-    for i in range(interleave):
-        data = frames[..., data_start + i::interleave][..., :nrs]
-        parity = frames[..., parity_start + nroots * i:
-                        parity_start + nroots * (i + 1)]
-        cws.append(jnp.concatenate([data, parity], axis=-1))
-    return jnp.stack(cws, axis=-2)                       # [..., ilv, nrs+nroots]
-
-
 def rs_clean_flags(frames, rs_layout: dict):
     """frames [..., frame_bytes] uint8/int32 -> clean [...] bool.
 
