@@ -433,16 +433,17 @@ class Pipeline:
             sub = jnp.pad(byte_at, ((0, 0), (0, pad)))
             sub = sub.reshape(cc, -1, 8).transpose(0, 2, 1).astype(jnp.uint8)
             bq = sub.shape[-1]                             # [C, 8, bq]
-            q = jnp.minimum(safe // 8, bq - fb)
+            sub = sub.reshape(cc * 8, bq)  # 2-D operand gathers lower ~30%
+            q = jnp.minimum(safe // 8, bq - fb)            # faster than 3-D
             r = safe - 8 * (safe // 8)
-            rows = jnp.broadcast_to(jnp.arange(cc)[:, None], (cc, kk))
-            idx = jnp.stack([rows, r, q], axis=-1).reshape(cc * kk, 3)
+            rows = jnp.arange(cc)[:, None] * 8 + r
+            idx = jnp.stack([rows, q], axis=-1).reshape(cc * kk, 2)
             frames = jax.lax.gather(
                 sub, idx,
                 jax.lax.GatherDimensionNumbers(
-                    offset_dims=(1,), collapsed_slice_dims=(0, 1),
-                    start_index_map=(0, 1, 2)),
-                slice_sizes=(1, 1, fb)).reshape(cc, kk, fb)
+                    offset_dims=(1,), collapsed_slice_dims=(0,),
+                    start_index_map=(0, 1)),
+                slice_sizes=(1, fb)).reshape(cc, kk, fb)
         else:
             # line-coded protocols: gather hard chips (uint8), line-decode
             # per frame, then pack bits to bytes
