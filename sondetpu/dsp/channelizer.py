@@ -36,6 +36,61 @@ class ChannelizerState(NamedTuple):
     tail_q: jax.Array    # [L] last wideband Q samples
 
 
+def _largest_factor(n: int, cap: int = 64):
+    """Largest divisor of n that is <= cap (None if n is prime or <= cap)."""
+    best = None
+    for f in range(2, min(n, cap + 1)):
+        if n % f == 0:
+            best = f
+    return best
+
+
+def _dft_axis0(ui: jax.Array, uq: jax.Array, sign: float = 1.0):
+    """Complex DFT over axis 0 on (I, Q) planes: y[k] = sum_p u[p] e^{sign*2pi*i*pk/n}.
+
+    Mixed-radix Cooley-Tukey: the DFT is factorized into matmul stages with
+    factors <= 64 so each stage lands on the MXU at O(f) MACs per sample
+    instead of the O(n) of a direct DFT matrix — the difference between a
+    2048-channel PFB being 20x slower than real time and 20x faster. Falls
+    back to the direct matrix for small or prime n.
+    """
+    n = ui.shape[0]
+    f = _largest_factor(n)
+    if n <= 64 or f is None:
+        p = np.arange(n)
+        ang = sign * 2.0 * np.pi * np.outer(p, p) / n
+        c = jnp.asarray(np.cos(ang), jnp.float32)
+        s = jnp.asarray(np.sin(ang), jnp.float32)
+        yi = jnp.einsum("pk,p...->k...", c, ui) - jnp.einsum("pk,p...->k...", s, uq)
+        yq = jnp.einsum("pk,p...->k...", c, uq) + jnp.einsum("pk,p...->k...", s, ui)
+        return yi, yq
+    n1 = f                      # outer (direct) stage size
+    n2 = n // n1                # inner (recursive) stage size
+    tail = ui.shape[1:]
+    # u[p1 + n1*p2] -> u_r[p2, p1]; inner DFT_{n2} over p2 for every p1
+    u_ri = ui.reshape((n2, n1) + tail)
+    u_rq = uq.reshape((n2, n1) + tail)
+    ai, aq = _dft_axis0(u_ri, u_rq, sign)          # [k2, p1, ...]
+    # twiddle W_n^{sign * p1*k2}
+    k2 = np.arange(n2)
+    p1 = np.arange(n1)
+    ang = sign * 2.0 * np.pi * np.outer(k2, p1) / n
+    shape = (n2, n1) + (1,) * len(tail)
+    tc = jnp.asarray(np.cos(ang).reshape(shape), jnp.float32)
+    ts = jnp.asarray(np.sin(ang).reshape(shape), jnp.float32)
+    ti = ai * tc - aq * ts
+    tq = aq * tc + ai * ts
+    # outer DFT_{n1} over p1: y[k1*n2 + k2] = sum_{p1} T[k2, p1] W_{n1}^{p1 k1}
+    ang1 = sign * 2.0 * np.pi * np.outer(p1, p1) / n1
+    c1 = jnp.asarray(np.cos(ang1), jnp.float32)
+    s1 = jnp.asarray(np.sin(ang1), jnp.float32)
+    yi = (jnp.einsum("pd,kp...->dk...", c1, ti)
+          - jnp.einsum("pd,kp...->dk...", s1, tq))
+    yq = (jnp.einsum("pd,kp...->dk...", c1, tq)
+          + jnp.einsum("pd,kp...->dk...", s1, ti))
+    return yi.reshape((n,) + tail), yq.reshape((n,) + tail)
+
+
 class PFBChannelizer:
     """Critically-sampled N-channel analysis filter bank."""
 
@@ -47,11 +102,6 @@ class PFBChannelizer:
         # prototype lowpass at the channel Nyquist, unity passband
         proto = design_lowpass(cutoff_frac, float(self.n), L + 1)[:L] * self.n
         self._hbank = proto.reshape(self.tpp, self.n).T.astype(np.float32)  # [N, tpp]
-        p = np.arange(self.n)
-        k = np.arange(self.n)
-        ang = 2.0 * np.pi * np.outer(p, k) / self.n
-        self._cos = np.cos(ang).astype(np.float32)     # [p, k]
-        self._sin = np.sin(ang).astype(np.float32)
 
     @property
     def history(self) -> int:
@@ -77,11 +127,17 @@ class PFBChannelizer:
 
         def branches(tail, x):
             xp = jnp.concatenate([tail, x])            # [L + W]
-            # branch p, frame m taps xp at L + m*N - p - j*N
-            # build per-branch decimated streams with conv over frames
-            base = L - jnp.arange(n)                   # start index per branch
-            idx = base[:, None] + jnp.arange(-tpp + 1, m_out)[None, :] * n
-            xb = xp[idx]                               # [N, m_out + tpp - 1]
+            # branch p, frame m taps xp at index N*(tpp+m) - p. Regrouping
+            # by reshape + flip instead of a W-element gather (gathers cost
+            # ~4 ns/elem on TPU; this is pure data movement):
+            #   vv = xp.reshape(rows, N); with m' = m + tpp - 1,
+            #   xb[0, m'] = vv[m'+1, 0]; xb[p>=1, m'] = vv[m', N-p]
+            vv = xp.reshape(-1, n)                     # [tpp + m_out, N]
+            rows = m_out + tpp - 1
+            xb = jnp.concatenate([
+                vv[1:rows + 1, 0:1],                   # branch 0
+                vv[:rows, :0:-1],                      # branches 1..N-1
+            ], axis=1).T                               # [N, m_out + tpp - 1]
             u = jax.lax.conv_general_dilated(
                 xb[None, :, :], self._hbank[:, None, ::-1],
                 window_strides=(1,), padding="VALID",
@@ -91,11 +147,9 @@ class PFBChannelizer:
 
         u_i = branches(state.tail_i, x_i)
         u_q = branches(state.tail_q, x_q)
-        # DFT across branches via two real matmuls (MXU); the +j convention
-        # maps a tone at +k*fs_chan into output channel k
-        c, s = self._cos, self._sin
-        y_i = jnp.einsum("pm,pk->km", u_i, c) - jnp.einsum("pm,pk->km", u_q, s)
-        y_q = jnp.einsum("pm,pk->km", u_q, c) + jnp.einsum("pm,pk->km", u_i, s)
+        # DFT across branches (MXU, mixed-radix factorized); the +j
+        # convention maps a tone at +k*fs_chan into output channel k
+        y_i, y_q = _dft_axis0(u_i, u_q, sign=1.0)
         new_state = ChannelizerState(
             tail_i=jnp.concatenate([state.tail_i, x_i])[-L:],
             tail_q=jnp.concatenate([state.tail_q, x_q])[-L:])

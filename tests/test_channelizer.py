@@ -105,3 +105,33 @@ def test_wideband_to_rs41_decode():
     assert 3 in sess.telemetry, sess.telemetry.keys()
     assert sess.telemetry[3].serial == "S1234567"
     assert sess.telemetry[3].lat == pytest.approx(45.0, abs=1e-4)
+
+
+def test_factorized_dft_matches_direct():
+    """The mixed-radix MXU DFT (n > 64 path) equals the direct DFT matrix."""
+    from sondetpu.dsp.channelizer import _dft_axis0
+
+    rng = np.random.default_rng(1)
+    for n in (96, 128, 256):   # composite sizes above the direct-path cap
+        ui = rng.normal(size=(n, 7)).astype(np.float32)
+        uq = rng.normal(size=(n, 7)).astype(np.float32)
+        yi, yq = jax.jit(_dft_axis0)(ui, uq)
+        # sign=+1 convention: y[k] = sum_p u[p] e^{+2pi i pk/n} == ifft(u)*n
+        ref = np.fft.ifft((ui + 1j * uq).astype(np.complex64), axis=0) * n
+        np.testing.assert_allclose(np.asarray(yi), ref.real, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(yq), ref.imag, atol=2e-3)
+
+
+def test_large_pfb_tone_lands_in_its_channel():
+    """A 128-channel PFB (factorized-DFT path) still routes tones."""
+    n = 128
+    fs_wide = n * 48000.0
+    pfb = PFBChannelizer(n)
+    t = np.arange(n * 2000) / fs_wide
+    for k in (1, 37, n - 5):
+        f = pfb.center_freqs(fs_wide)[k] + 1500.0
+        iq = np.exp(2j * np.pi * f * t).astype(np.complex64)
+        st = pfb.init_state()
+        _, yi, yq = _chan(pfb, st, iq)
+        power = (np.asarray(yi) ** 2 + np.asarray(yq) ** 2).mean(axis=1)
+        assert power.argmax() == k, (k, power.argmax())
