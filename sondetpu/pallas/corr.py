@@ -28,22 +28,34 @@ def _kernel(buf_ref, tmpl_ref, out_ref, *, L: int):
     out_ref[:] = acc * (1.0 / L)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def corr_kernel(chipbuf, template, *, interpret: bool = False):
-    """chipbuf [C, buf], template [1, L] -> corr [C, buf - L + 1] / L."""
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def corr_kernel(chipbuf, template, *, chunk: int = 4096,
+                interpret: bool = False):
+    """chipbuf [C, buf], template [1, L] -> corr [C, buf - L + 1] / L.
+
+    Time-chunked: one pallas_call per ``chunk`` output columns (each call's
+    input is the chunk plus an L-1 halo), so VMEM stays bounded at any
+    channel count / block length — a monolithic row at 2048 ch x 4 s blocks
+    blows the ~16 MB scoped-VMEM budget.
+    """
     c, buf = chipbuf.shape
     L = template.shape[-1]
     assert c % TILE_C == 0, c
     n_out = buf - L + 1
     kern = functools.partial(_kernel, L=L)
-    return pl.pallas_call(
-        kern,
-        grid=(c // TILE_C,),
-        in_specs=[
-            pl.BlockSpec((TILE_C, buf), lambda g: (g, 0)),
-            pl.BlockSpec((1, L), lambda g: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((TILE_C, n_out), lambda g: (g, 0)),
-        out_shape=jax.ShapeDtypeStruct((c, n_out), jnp.float32),
-        interpret=interpret,
-    )(chipbuf, template)
+    outs = []
+    for s in range(0, n_out, chunk):
+        w = min(chunk, n_out - s)
+        piece = jax.lax.slice_in_dim(chipbuf, s, s + w + L - 1, axis=1)
+        outs.append(pl.pallas_call(
+            kern,
+            grid=(c // TILE_C,),
+            in_specs=[
+                pl.BlockSpec((TILE_C, w + L - 1), lambda g: (g, 0)),
+                pl.BlockSpec((1, L), lambda g: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE_C, w), lambda g: (g, 0)),
+            out_shape=jax.ShapeDtypeStruct((c, w), jnp.float32),
+            interpret=interpret,
+        )(piece, template))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
