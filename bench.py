@@ -71,16 +71,17 @@ def main():
         # is read, so host readback overlaps device compute
         state, out = pipe.step(state, (iq_i, iq_q))
         if prev is not None:
-            # ONE packed readback (frames + validity + quality): the link is
-            # RTT-dominated, so steady state is a single transfer per block
+            # ONE packed readback (wire columns + validity + quality): the
+            # link is RTT-dominated, so steady state is a single transfer
             from sondetpu.runtime.pipeline import unpack_block_output
             _, valid, _, _ = unpack_block_output(
-                np.asarray(prev.packed), cfg.k_slots, 320)
+                np.asarray(prev.packed), cfg.k_slots, cfg.wire_ncols)
             frames_found += int(valid.sum())
         prev = out
         times.append(time.perf_counter() - t0)
     from sondetpu.runtime.pipeline import unpack_block_output
-    _, valid, _, _ = unpack_block_output(np.asarray(prev.packed), cfg.k_slots, 320)
+    _, valid, _, _ = unpack_block_output(np.asarray(prev.packed), cfg.k_slots,
+                                         cfg.wire_ncols)
     frames_found += int(valid.sum())
     # the TPU here sits behind a shared tunnel with bursty latency; the
     # minimum over steady-state iterations is the sustainable rate (iter 0

@@ -115,6 +115,20 @@ class PipelineConfig:
         # ring holds one full frame of history plus a block of new chips
         return self.frame_chips + self.chip_cap
 
+    @property
+    def wire_columns(self):
+        """Byte columns of each frame that cross the device->host wire in
+        the packed buffer (None = whole frame). Specs that define
+        extra['wire_columns'] (the offsets their host parser reads) cut the
+        readback ~2.6x; full frames for host FEC of RS-suspect rows are
+        fetched separately via fetch_frames()."""
+        return self.spec.extra.get("wire_columns")
+
+    @property
+    def wire_ncols(self) -> int:
+        cols = self.wire_columns
+        return self.spec.frame_bytes if cols is None else len(cols)
+
 
 class PipelineState(NamedTuple):
     # IQ is carried as float32 I/Q planes end to end: several PJRT backends
@@ -138,16 +152,22 @@ class BlockOutput(NamedTuple):
     soft_rms: jax.Array     # [C] float32 chip-level signal quality
     rs_clean: jax.Array     # [C, K] bool: frame's RS syndromes all zero
     # frames + valid + rs_clean + soft_rms packed into ONE FLAT uint8 buffer
-    # of C * (K*frame_bytes + 2K + 4) bytes: the steady-state host readback
+    # of C * (K*wire_ncols + 2K + 4) bytes: the steady-state host readback
     # is a single transfer (the device link is RTT-dominated, and 2-D arrays
     # transfer ~3x slower than flat buffers through it — measured 18 vs
-    # 49 MB/s). Unpack with unpack_block_output().
+    # 49 MB/s). When the spec defines wire_columns, only those frame byte
+    # columns are packed (the parser needs nothing else for RS-clean
+    # frames); `frames` stays on device and suspect rows are pulled with
+    # Pipeline.fetch_frames(). Unpack with unpack_block_output().
     packed: jax.Array
 
 
 def unpack_block_output(packed: np.ndarray, k_slots: int, frame_bytes: int):
     """Split a host copy of BlockOutput.packed into (frames [C, K, fb] uint8,
-    valid [C, K] bool, rs_clean [C, K] bool, soft_rms [C] float32)."""
+    valid [C, K] bool, rs_clean [C, K] bool, soft_rms [C] float32).
+
+    ``frame_bytes`` is the per-frame wire width: config.wire_ncols (== the
+    full spec.frame_bytes unless the spec defines compact wire_columns)."""
     row = k_slots * frame_bytes + 2 * k_slots + 4
     c = packed.size // row
     packed = packed.reshape(c, row)
@@ -232,6 +252,25 @@ class Pipeline:
 
             i, q = c64_to_planes(np.asarray(iq))
         return self._step(state, i, q)
+
+    def fetch_frames(self, frames_dev, ch_idx, slot_idx) -> np.ndarray:
+        """Pull specific (channel, slot) full frames from a device-resident
+        BlockOutput.frames: the suspect path of the compact wire-column
+        readback (frames the host must RS-correct). Indices are padded to a
+        power-of-two bucket so the gather program compiles O(log n) times."""
+        n = len(ch_idx)
+        if n == 0:
+            return np.zeros((0, self.config.spec.frame_bytes), np.uint8)
+        flat = (np.asarray(ch_idx, np.int32) * self.config.k_slots
+                + np.asarray(slot_idx, np.int32))
+        bucket = max(8, 1 << (n - 1).bit_length())
+        idx = np.zeros(bucket, np.int32)
+        idx[:n] = flat
+        if not hasattr(self, "_fetch_fn"):
+            fb = self.config.spec.frame_bytes
+            self._fetch_fn = jax.jit(
+                lambda f, i: jnp.take(f.reshape(-1, fb), i, axis=0))
+        return np.asarray(self._fetch_fn(frames_dev, idx))[:n]
 
     def _afsk_frontend(self, state: PipelineState, audio: jax.Array):
         """Dual-tone AFSK discriminator with carried tone-filter tails and
@@ -479,8 +518,14 @@ class Pipeline:
             rs_clean = rs_clean & frame_valid
         else:
             rs_clean = jnp.zeros_like(frame_valid)
+        # spec-declared wire columns: only the byte columns the host parser
+        # reads cross the wire; full frames stay device-resident for the
+        # (rare) RS-suspect fetch path
+        cols = c.wire_columns
+        wire = frames if cols is None else jnp.take(
+            frames, jnp.asarray(np.asarray(cols, np.int32)), axis=-1)
         packed = jnp.concatenate([
-            frames.reshape(frames.shape[0], -1),
+            wire.reshape(wire.shape[0], -1),
             frame_valid.astype(jnp.uint8),
             rs_clean.astype(jnp.uint8),
             jax.lax.bitcast_convert_type(soft_rms, jnp.uint8),

@@ -126,16 +126,20 @@ class DecoderSession:
         from sondetpu.runtime.pipeline import unpack_block_output
         packed = np.asarray(out.packed)
         all_frames, valid, rs_clean, soft_rms = unpack_block_output(
-            packed, self.config.k_slots, self.config.spec.frame_bytes)
+            packed, self.config.k_slots, self.config.wire_ncols)
         if not valid.any():
             return [], 0, 0, soft_rms
         ch_idx, slot_idx = np.nonzero(valid)
-        frames = all_frames[ch_idx, slot_idx]                 # [n, frame_bytes]
+        frames = all_frames[ch_idx, slot_idx]                 # [n, wire_ncols]
         self.frames_seen += frames.shape[0]
+        cols = self.config.wire_columns
+        if cols is not None:
+            frags = self._decode_compact(out, frames, ch_idx, slot_idx,
+                                         rs_clean[ch_idx, slot_idx], cols)
         # frames arrive as descrambled bytes (packed + de-whitened on device);
         # decoders that understand the device RS-syndrome verdict skip host
         # FEC for clean frames
-        if getattr(self.decoder, "wants_rs_clean", False):
+        elif getattr(self.decoder, "wants_rs_clean", False):
             frags = self.decoder.decode_byte_frames(
                 frames, ch_idx, rs_clean=rs_clean[ch_idx, slot_idx])
         else:
@@ -151,3 +155,27 @@ class DecoderSession:
                 if self.on_update:
                     self.on_update(int(ch), snap)
         return updates, int(frames.shape[0]), len(frags), soft_rms
+
+    def _decode_compact(self, out: BlockOutput, wire: np.ndarray,
+                        ch_idx: np.ndarray, slot_idx: np.ndarray,
+                        clean: np.ndarray, cols: np.ndarray):
+        """Compact wire-column readback (spec.extra['wire_columns']):
+        RS-clean frames are reconstructed column-sparse and parsed without
+        CRC re-checks (the device syndrome already proves integrity);
+        suspect frames are fetched in full off the device for host FEC."""
+        fb = self.config.spec.frame_bytes
+        frags = []
+        if clean.any():
+            recon = np.zeros((int(clean.sum()), fb), np.uint8)
+            recon[:, np.asarray(cols)] = wire[clean]
+            frags += self.decoder.decode_byte_frames(
+                recon, ch_idx[clean], rs_clean=np.ones(recon.shape[0], bool),
+                crc_present=False)
+        suspect = ~clean
+        if suspect.any():
+            full = self.pipeline.fetch_frames(
+                out.frames, ch_idx[suspect], slot_idx[suspect])
+            frags += self.decoder.decode_byte_frames(
+                full, ch_idx[suspect],
+                rs_clean=np.zeros(full.shape[0], bool))
+        return frags

@@ -121,6 +121,8 @@ SPEC = ProtocolSpec(
            "rs": {"data_start": DATA_START, "parity_start": 8, "nroots": 24,
                   "interleave": 2, "fcr": 0, "prim": 0x11D}},
 )
+# wire_columns is derived below from the block plan and attached post-hoc
+# (the dict inside the frozen spec is shared by reference)
 
 
 def _block_offsets(plan, frame_len):
@@ -135,6 +137,36 @@ def _block_offsets(plan, frame_len):
 
 _BLOCK_OFFSETS = _block_offsets(_BLOCK_PLAN, FRAME_BYTES)
 _BLOCK_OFFSETS_EXT = _block_offsets(_BLOCK_PLAN_EXT, FRAME_BYTES_EXT)
+
+# Bytes of the data region the parser actually reads per block type (data
+# offsets relative to block start). None = whole data field. The device
+# reads back only these "wire columns" for RS-clean frames (the RS code
+# covers every byte from 0x38 on, so a zero syndrome implies the block CRCs
+# would pass — the CRC bytes need not cross the wire); suspect frames are
+# fetched in full for host FEC. ~2.6x less device->host traffic per frame.
+_WIRE_USED = {
+    BLK_STATUS: 0x28,    # frame_no, serial, battery, flags, burstkill,
+                         # calib page index + 16B fragment: keep all 40
+    BLK_MEAS: 24,        # 8 x u24le ADC counts
+    BLK_GPSINFO: 6,      # week u16 + itow
+    BLK_GPSRAW: 0,       # opaque — header only
+    BLK_GPSPOS: 21,      # ecef pos/vel + numSV/sAcc/pDOP
+    BLK_XDATA: None,     # whole ASCII payload
+}
+
+
+def _wire_columns(offsets) -> np.ndarray:
+    cols = [DATA_START]                      # frame-type byte
+    for typ, pos, dlen in offsets:
+        used = _WIRE_USED.get(typ, None)
+        used = dlen if used is None else min(used, dlen)
+        cols.extend(range(pos, pos + 2 + used))   # [type, len] header + data
+    return np.asarray(cols, dtype=np.int32)
+
+
+WIRE_COLUMNS = _wire_columns(_BLOCK_OFFSETS)
+WIRE_COLUMNS_EXT = _wire_columns(_BLOCK_OFFSETS_EXT)
+SPEC.extra["wire_columns"] = WIRE_COLUMNS
 
 
 def _offsets_for(frame_type: int):
@@ -240,7 +272,8 @@ class RS41Decoder(SondeDecoderBase):
         return self.decode_byte_frames(scramble(raw), channels)
 
     def decode_byte_frames(self, frames: np.ndarray, channels,
-                           rs_clean=None) -> List[Tuple[int, TelemetryFragment]]:
+                           rs_clean=None, crc_present=True
+                           ) -> List[Tuple[int, TelemetryFragment]]:
         """frames: [n, L] descrambled bytes (L = 320, or 518 when the
         pipeline gathers extended frames); returns (channel, fragment).
 
@@ -248,7 +281,11 @@ class RS41Decoder(SondeDecoderBase):
         (0x38): a 518-byte gather of a standard sonde parses its first 320
         bytes; extended sondes need L >= 518 (use sonde type "rs41x").
         ``rs_clean`` [n] carries the device RS-syndrome verdict — True rows
-        need no host RS correction."""
+        need no host RS correction. ``crc_present=False`` means the frames
+        were reconstructed from the compact wire-column readback (CRC bytes
+        did not cross the wire): block integrity then rests on the device
+        RS verdict (the RS code covers every byte the CRCs cover), so only
+        the block headers are checked — valid ONLY for rs_clean frames."""
         frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
         channels = np.asarray(channels)
         L = frames.shape[1]
@@ -269,15 +306,20 @@ class RS41Decoder(SondeDecoderBase):
             # truncating a 518-byte gather to a 320-byte standard frame
             # changes the codeword, so the verdict only carries over when
             # the lengths agree
-            clean_sel = (np.asarray(rs_clean, bool)[sel]
-                         if rs_clean is not None and flen == L else None)
+            if not crc_present:
+                # compact frames only ever arrive device-verified clean;
+                # host RS on a column-sparse reconstruction would be wrong
+                clean_sel = np.ones(int(sel.sum()), dtype=bool)
+            else:
+                clean_sel = (np.asarray(rs_clean, bool)[sel]
+                             if rs_clean is not None and flen == L else None)
             out.extend(self._decode_uniform(frames[sel][:, :flen],
                                             channels[sel], _offsets_for(ftype),
-                                            clean_sel))
+                                            clean_sel, crc_present))
         return out
 
     def _decode_uniform(self, frames: np.ndarray, channels, offsets,
-                        rs_clean=None):
+                        rs_clean=None, crc_present=True):
         if rs_clean is not None and rs_clean.any():
             # device verdict: clean rows skip RS entirely; run the decoder
             # only on suspects
@@ -295,6 +337,11 @@ class RS41Decoder(SondeDecoderBase):
         blk_ok = {}
         for typ, pos, dlen in offsets:
             hdr = (corrected[:, pos] == typ) & (corrected[:, pos + 1] == dlen)
+            if not crc_present:
+                # compact wire-column frames: integrity already proven by the
+                # device RS syndrome (covers all data bytes incl. the CRCs)
+                blk_ok[typ] = hdr
+                continue
             data = corrected[:, pos + 2: pos + 2 + dlen]
             want = (corrected[:, pos + 2 + dlen].astype(np.uint16)
                     | (corrected[:, pos + 3 + dlen].astype(np.uint16) << 8))
@@ -551,7 +598,8 @@ SPEC_EXT = ProtocolSpec(
     deviation=2400.0,
     extra={"whitening": WHITENING_MASK,
            "rs": {"data_start": DATA_START, "parity_start": 8, "nroots": 24,
-                  "interleave": 2, "fcr": 0, "prim": 0x11D}},
+                  "interleave": 2, "fcr": 0, "prim": 0x11D},
+           "wire_columns": WIRE_COLUMNS_EXT},
 )
 
 
