@@ -128,10 +128,48 @@ def _group_size(channels: int) -> int:
     return 1
 
 
+def _conv1d_mxu(x: jax.Array, kernel: jax.Array, stride: int = 1,
+                block: int = 128) -> jax.Array:
+    """Valid 1-D correlation as two MXU matmuls (blocked Toeplitz).
+
+    Blocking time into windows of ``block`` outputs turns the FIR into
+    y_win = A @ H0 + B @ H1 with dense [block, block] / [ntaps-1, block]
+    Toeplitz tap matrices — (block+ntaps-1)/ntaps more FLOPs, but on the
+    systolic array. H columns are strided for fused decimation.
+    x: [C, n + ntaps - 1] with kernel pre-reversed (correlation), like
+    lax.conv.
+
+    MEASURED (v5e, 2048ch x 192k samples, 41 taps, stride 2): the grouped
+    depthwise conv is memory-bound at ~6 ms/plane and this path is ~11 ms
+    regardless of T or precision — the MXU cannot beat an op whose cost is
+    HBM reads. Kept (with tests) as the documented negative result; the
+    hot path stays on the depthwise conv in _conv1d.
+    """
+    c, ln = x.shape
+    ntaps = kernel.shape[0]
+    n = ln - ntaps + 1                      # valid outputs at stride 1
+    T = block
+    nblk = -(-n // T)
+    xp = jnp.pad(x, ((0, 0), (0, nblk * T + T - ln)))
+    A = xp[:, : nblk * T].reshape(c, nblk, T)
+    B = xp[:, T: T + nblk * T].reshape(c, nblk, T)[:, :, : ntaps - 1]
+    kernel = jnp.asarray(kernel, jnp.float32)
+    j = jnp.arange(0, T, stride)[None, :]
+    d0 = jnp.arange(T)[:, None] - j
+    h0 = jnp.where((d0 >= 0) & (d0 < ntaps),
+                   kernel[jnp.clip(d0, 0, ntaps - 1)], 0.0)
+    d1 = (T + jnp.arange(ntaps - 1))[:, None] - j
+    h1 = jnp.where((d1 >= 0) & (d1 < ntaps),
+                   kernel[jnp.clip(d1, 0, ntaps - 1)], 0.0)
+    y = (jnp.einsum("cmt,tj->cmj", A.astype(jnp.float32), h0)
+         + jnp.einsum("cmd,dj->cmj", B.astype(jnp.float32), h1))
+    return y.reshape(c, -1)[:, : -(-n // stride)]
+
+
 def _conv1d(x: jax.Array, kernel: jax.Array, stride: int = 1) -> jax.Array:
     c, n = x.shape
-    g = _group_size(c)
     kernel = jnp.asarray(kernel, jnp.float32)
+    g = _group_size(c)
     if g > 1:
         out = jax.lax.conv_general_dilated(
             x.reshape(c // g, g, n).astype(jnp.float32),
