@@ -11,7 +11,10 @@ equivalence is property-tested in interpret mode on CPU and the TPU default
 is chosen by measurement (bench.py --pallas).
 """
 
-from sondetpu.pallas.frontend import fused_demod_fir, fused_demod_fir_chunked, fast_atan2
+from sondetpu.pallas.frontend import (
+    fused_demod_fir, fused_demod_fir_chunked, fused_frontend, frontend_chunk,
+    fast_atan2)
 from sondetpu.pallas.corr import corr_kernel
 
-__all__ = ["fused_demod_fir", "fused_demod_fir_chunked", "fast_atan2", "corr_kernel"]
+__all__ = ["fused_demod_fir", "fused_demod_fir_chunked", "fused_frontend",
+           "frontend_chunk", "fast_atan2", "corr_kernel"]

@@ -107,6 +107,153 @@ def fused_demod_fir(iq_i, iq_q, prev, atail, taps, scale, *,
     )(iq_i, iq_q, prev, atail, taps, scale)
 
 
+# ---------------------------------------------------------------------------
+# Full front-end kernel: channel filter + decimate + FM demod + matched FIR
+# ---------------------------------------------------------------------------
+
+HALO = 128   # full-rate history samples each chunk reads (>= decim*ntaps
+             # + ntaps - 1 for the chanfilt+demod+matched chain; 128 keeps
+             # the halo BlockSpec lane-aligned)
+
+
+def frontend_chunk(n: int, max_chunk: int = 4096):
+    """Largest multiple-of-HALO divisor of ``n`` up to ``max_chunk``.
+
+    Returns None when no valid chunking exists (caller falls back to the
+    jnp path)."""
+    best = None
+    for k in range(1, max_chunk // HALO + 1):
+        ck = k * HALO
+        if n % ck == 0:
+            best = ck
+    return best
+
+
+def _frontend_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
+                     chan_taps, match_taps, scale_ref,
+                     filt_ref, sum_ref, *, ntaps: int, decim: int):
+    """One (channel-tile, time-chunk) grid cell of the fused front end.
+
+    Window = [HALO carried/previous samples | CHUNK new samples] at the
+    full input rate; everything below runs in VMEM:
+      channel filter (stride ``decim``) -> FM quadrature discriminator
+      (polynomial atan2) -> matched FIR -> CHUNK/decim filtered outputs
+      plus the per-chunk audio sum (for the block DC estimate, subtracted
+      by the caller: the matched filter has unity DC gain so subtracting
+      after filtering equals the jnp path's subtract-before).
+    """
+    j = pl.program_id(1)
+    T = ntaps
+    ck = body_i.shape[-1]
+    ckd = ck // decim
+    cp = ckd + T                    # chanfilt outputs incl. demod/FIR history
+
+    hi = jnp.where(j == 0, tail_i[:], halo_i[:])
+    hq = jnp.where(j == 0, tail_q[:], halo_q[:])
+    xw_i = jnp.concatenate([hi, body_i[:]], axis=-1)   # [TC, HALO + ck]
+    xw_q = jnp.concatenate([hq, body_q[:]], axis=-1)
+
+    def chanfilt(xw):
+        # cf[k] = sum_u hc[u] * x[d*P_k - u], P_k = j*ckd - T + k
+        if decim == 2:
+            xr = xw.reshape(xw.shape[0], -1, 2)
+            xe, xo = xr[:, :, 0], xr[:, :, 1]
+            acc = jnp.zeros((xw.shape[0], cp), jnp.float32)
+            for u in range(T):
+                b = HALO - 2 * T - u       # local full-rate index at k=0
+                h = chan_taps[0, u]
+                if b % 2 == 0:
+                    acc = acc + h * xe[:, b // 2: b // 2 + cp]
+                else:
+                    acc = acc + h * xo[:, (b - 1) // 2: (b - 1) // 2 + cp]
+            return acc
+        acc = jnp.zeros((xw.shape[0], cp), jnp.float32)
+        for u in range(T):
+            b = HALO - T - u
+            acc = acc + chan_taps[0, u] * xw[:, b: b + cp]
+        return acc
+
+    cf_i = chanfilt(xw_i)
+    cf_q = chanfilt(xw_q)
+
+    # FM quadrature discriminator over consecutive chanfilt outputs
+    dre = cf_i[:, 1:] * cf_i[:, :-1] + cf_q[:, 1:] * cf_q[:, :-1]
+    dim = cf_q[:, 1:] * cf_i[:, :-1] - cf_i[:, 1:] * cf_q[:, :-1]
+    audio = fast_atan2(dim, dre) * scale_ref[0, 0]     # [TC, cp - 1]
+
+    # matched FIR: filt[m] = sum_u hm[u] * audio[m + T - 1 - u]
+    acc = jnp.zeros((audio.shape[0], ckd), jnp.float32)
+    for u in range(T):
+        o = T - 1 - u
+        acc = acc + match_taps[0, u] * audio[:, o: o + ckd]
+    filt_ref[:] = acc
+    # this chunk's proc-rate audio samples for the block DC estimate; the
+    # [TC, nchunks] sums block persists across the j grid dimension (same
+    # index for all j) and each cell fills its own column
+    sum_ref[:, pl.ds(j, 1)] = jnp.sum(audio[:, T - 1: T - 1 + ckd], axis=-1,
+                                      keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("ntaps", "decim", "chunk",
+                                             "dc_block", "interpret"))
+def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
+                   *, ntaps: int, decim: int, chunk: int,
+                   dc_block: bool = True, interpret: bool = False):
+    """Fused channel-filter + FM-demod + matched-FIR front end.
+
+    ONE pallas_call over a (channel-tile, time-chunk) grid: each cell reads
+    its aligned [TC, chunk] body plus a HALO-sample halo from the previous
+    chunk (the carried raw tails for chunk 0), so HBM traffic is the two
+    input planes once (+HALO/chunk) and the decimated output once — versus
+    ~5 round-trips for the unfused XLA stages. Replaces the per-time-chunk
+    pallas_call loop of the original fused_demod_fir (measured 7x slower:
+    32 dispatches per block, each materializing an HBM slice).
+
+    iq planes [C, n] float32 (n % chunk == 0, chunk % HALO == 0);
+    tails [C, HALO] raw input carry; taps [1, ntaps]; scale [1, 1].
+    Returns (filt [C, n//decim], new_tail_i, new_tail_q).
+    """
+    c, n = iq_i.shape
+    assert n % chunk == 0 and chunk % HALO == 0, (n, chunk)
+    assert decim * ntaps + ntaps - 1 <= HALO, (ntaps, decim)
+    tc = 64 if c % 64 == 0 else 8
+    assert c % tc == 0, c
+    nchunks = n // chunk
+    ckd = chunk // decim
+    kern = functools.partial(_frontend_kernel, ntaps=ntaps, decim=decim)
+    hblk = chunk // HALO
+    filt, sums = pl.pallas_call(
+        kern,
+        grid=(c // tc, nchunks),
+        in_specs=[
+            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, HALO),
+                         lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
+            pl.BlockSpec((tc, HALO),
+                         lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
+            pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
+            pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tc, ckd), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, nchunks), lambda i, j: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, n // decim), jnp.float32),
+            jax.ShapeDtypeStruct((c, nchunks), jnp.float32),
+        ),
+        interpret=interpret,
+    )(iq_i, iq_q, iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale)
+    if dc_block:
+        filt = filt - (jnp.sum(sums, axis=-1) / (n // decim))[:, None]
+    return filt, iq_i[:, -HALO:], iq_q[:, -HALO:]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("ntaps", "dc_block", "chunk", "interpret"))
 def fused_demod_fir_chunked(iq_i, iq_q, prev, atail, taps, scale, *,

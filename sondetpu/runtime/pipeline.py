@@ -48,6 +48,11 @@ class PipelineConfig:
     # downconversion below the PFB grid — the analogue of the reference
     # VFO's free tuning with 1 kHz snap (main.cpp:56). None = all on-grid.
     fine_offsets: Optional[tuple] = None
+    # profiling ablation: truncate the compiled step after the named stage
+    # ("chanfilt"|"demod"|"timing"|"sample"|"corr"|"peaks"|"gather"|
+    # "syndrome") and return only a checksum scalar. Stage-by-stage timing
+    # differences give per-stage device cost (tools/profile_stages.py).
+    profile_stop: Optional[str] = None
 
     def __post_init__(self):
         spec = get_sonde(self.sonde)["spec"]
@@ -210,10 +215,20 @@ class Pipeline:
         self._afsk = spec.modulation == "afsk"
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
-        self._pallas = bool(c.use_pallas) and not self._afsk and c.channels % 8 == 0
+        # fused Pallas front end (chanfilt+decimate+demod+matched FIR in one
+        # VMEM pass) needs a chunking that divides the block and channels
+        # aligned to the tile
+        from sondetpu.pallas.frontend import HALO, frontend_chunk
+        self._fe_chunk = frontend_chunk(c.block_len)
+        self._fe_halo = HALO
+        self._pallas = (bool(c.use_pallas) and not self._afsk
+                        and c.channels % 8 == 0
+                        and self._fe_chunk is not None
+                        and c.decim * c.ntaps + c.ntaps - 1 <= HALO)
         # compiled Pallas needs a TPU; CPU (unit tests) runs interpret mode
         self._pallas_interpret = jax.default_backend() == "cpu"
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        donate = () if c.profile_stop else (0,)
+        self._step = jax.jit(self._step_impl, donate_argnums=donate)
 
     # -- state -------------------------------------------------------------
 
@@ -228,9 +243,13 @@ class Pipeline:
                 + (np.zeros((1,), np.int32),)
         if c.fine_offsets is not None:
             aux = aux + (np.zeros((c.channels,), np.float32),)   # DDC phase
+        # the Pallas front end carries HALO raw input samples per plane in
+        # the chan_tail fields (it recomputes the filter/demod history from
+        # them); the jnp path carries ntaps-1 filtered-input samples
+        tail_w = self._fe_halo if self._pallas else c.ntaps - 1
         return PipelineState(
-            chan_tail_i=np.zeros((c.channels, c.ntaps - 1), np.float32),
-            chan_tail_q=np.zeros((c.channels, c.ntaps - 1), np.float32),
+            chan_tail_i=np.zeros((c.channels, tail_w), np.float32),
+            chan_tail_q=np.zeros((c.channels, tail_w), np.float32),
             fm_prev=np.zeros((c.channels, 2), np.float32),
             fir=FIRState(tail=np.zeros((c.channels, c.ntaps - 1), np.float32)),
             timing=TimingState(pos=np.zeros((c.channels,), np.float32),
@@ -355,33 +374,40 @@ class Pipeline:
         else:
             ddc_phase = ()
 
-        # pre-demod channel filter (reference VFO bandwidth, main.cpp:55-57);
-        # for narrowband types the strided conv also decimates (c.decim),
-        # halving the cost of every stage after it
-        xpi = jnp.concatenate([state.chan_tail_i, iq_i], axis=-1)
-        xpq = jnp.concatenate([state.chan_tail_q, iq_q], axis=-1)
-        new_ctail_i = xpi[:, -(c.ntaps - 1):]
-        new_ctail_q = xpq[:, -(c.ntaps - 1):]
-        iq_i = _apply_windows(xpi, self._chan_taps, stride=c.decim)
-        iq_q = _apply_windows(xpq, self._chan_taps, stride=c.decim)
-        n = iq_i.shape[-1]                 # processing length from here on
-
-        fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
-
         if self._pallas:
-            # fused FM demod + DC block + matched FIR in one VMEM pass
-            from sondetpu.pallas import fused_demod_fir_chunked
+            # fused front end: channel filter + decimate + FM discriminator
+            # + matched FIR in ONE Pallas pass over (channel, time) tiles;
+            # carry is the raw HALO-sample input tail per plane
+            from sondetpu.pallas.frontend import fused_frontend
 
-            ntaps = self._taps.shape[0]
-            filt, new_tail, _ = fused_demod_fir_chunked(
-                iq_i, iq_q, state.fm_prev, state.fir.tail,
+            filt, new_ctail_i, new_ctail_q = fused_frontend(
+                iq_i, iq_q, state.chan_tail_i, state.chan_tail_q,
+                self._chan_taps[None, :].astype(np.float32),
                 self._taps[None, :].astype(np.float32),
-                np.asarray([[scale]], np.float32),
-                ntaps=ntaps, dc_block=c.dc_block,
-                interpret=self._pallas_interpret)
-            fir_state = FIRState(tail=new_tail)
+                jnp.asarray([[scale]], jnp.float32),
+                ntaps=c.ntaps, decim=c.decim, chunk=self._fe_chunk,
+                dc_block=c.dc_block, interpret=self._pallas_interpret)
+            n = filt.shape[-1]             # processing length from here on
+            fm_state = state.fm_prev       # unused on this path
+            fir_state = state.fir
             aux_state = ()
+            if c.profile_stop == "chanfilt":   # fused: chanfilt==demod here
+                return jnp.sum(filt)
         else:
+            # pre-demod channel filter (reference VFO bandwidth,
+            # main.cpp:55-57); for narrowband types the strided conv also
+            # decimates (c.decim), halving every stage after it
+            xpi = jnp.concatenate([state.chan_tail_i, iq_i], axis=-1)
+            xpq = jnp.concatenate([state.chan_tail_q, iq_q], axis=-1)
+            new_ctail_i = xpi[:, -(c.ntaps - 1):]
+            new_ctail_q = xpq[:, -(c.ntaps - 1):]
+            iq_i = _apply_windows(xpi, self._chan_taps, stride=c.decim)
+            iq_q = _apply_windows(xpq, self._chan_taps, stride=c.decim)
+            n = iq_i.shape[-1]             # processing length from here on
+            if c.profile_stop == "chanfilt":
+                return jnp.sum(iq_i) + jnp.sum(iq_q)
+
+            fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
             # L2: FM quadrature discriminator on I/Q planes (ref main.cpp:57):
             # d = x[n]*conj(x[n-1]); audio = atan2(im(d), re(d)) * fs/(2*pi*dev)
             pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]], axis=-1)
@@ -403,6 +429,8 @@ class Pipeline:
                 fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
                 aux_state = ()
 
+        if c.profile_stop == "demod":
+            return jnp.sum(filt)
         # symbol timing: feed-forward estimate + slew-limited NCO carry
         tau = oerder_meyr_tau(filt, sps)
         err = jnp.mod(tau - state.timing.pos + sps / 2.0, sps) - sps / 2.0
@@ -413,7 +441,11 @@ class Pipeline:
         # exactly cpb chips fit (start in [0, sps), block % sps == 0)
         next_pos = start + cpb * sps - n
         timing_state = TimingState(pos=next_pos, locked=jnp.ones_like(state.timing.locked))
+        if c.profile_stop == "timing":
+            return jnp.sum(start) + jnp.sum(next_pos)
         soft = self._sample_symbols(filt, start, sps, cpb)
+        if c.profile_stop == "sample":
+            return jnp.sum(soft)
 
         # chip ring buffer: constant cpb new chips -> static slice, no gather
         ext = jnp.concatenate([state.chipbuf, soft], axis=-1)   # [C, buf+cpb]
@@ -440,9 +472,13 @@ class Pipeline:
                 corr2 = jnp.abs(corr2)
             m = min(corr.shape[-1], corr2.shape[-1])
             corr = jnp.maximum(corr[:, :m], corr2[:, :m])
+        if c.profile_stop == "corr":
+            return jnp.sum(corr)
         min_dist = max(self.config.frame_chips // 4, self._template.shape[0])
         starts, ok = find_frame_starts(corr, self.config.sync_threshold,
                                        c.k_slots, min_dist)
+        if c.profile_stop == "peaks":
+            return jnp.sum(starts) + jnp.sum(ok)
         # dedup across blocks: only frames whose END lies in the new chips
         is_new = (starts + c.frame_chips) > (c.buf_len - nvalid)
         # and whose start lies within real (filled) history
@@ -496,6 +532,8 @@ class Pipeline:
                                   spec.frame_bytes, 8)
             frames = jnp.sum(bits8.astype(jnp.int32) * w.astype(np.int32),
                              axis=-1).astype(jnp.uint8)
+        if c.profile_stop == "gather":
+            return jnp.sum(frames.astype(jnp.int32))
         mask = spec.extra.get("whitening")
         if mask is not None:
             full = np.resize(np.asarray(mask, np.uint8), spec.frame_bytes)
@@ -518,6 +556,8 @@ class Pipeline:
             rs_clean = rs_clean & frame_valid
         else:
             rs_clean = jnp.zeros_like(frame_valid)
+        if c.profile_stop == "syndrome":
+            return jnp.sum(rs_clean) + jnp.sum(frame_valid)
         # spec-declared wire columns: only the byte columns the host parser
         # reads cross the wire; full frames stay device-resident for the
         # (rare) RS-suspect fetch path

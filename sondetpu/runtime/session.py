@@ -14,7 +14,6 @@ recovery via the stale-channel watchdog (§5.3), and checkpoint/resume hooks
 from __future__ import annotations
 
 import time
-from dataclasses import replace
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -30,7 +29,7 @@ class DecoderSession:
 
     def __init__(self, config: PipelineConfig,
                  on_update: Optional[Callable[[int, SondeTelemetry], None]] = None,
-                 pipelined: bool = False, mesh=None):
+                 pipelined: bool = False, mesh=None, host_workers: int = 0):
         self.config = config
         self.pipeline = Pipeline(config)
         self.state = self.pipeline.init_state()
@@ -58,6 +57,17 @@ class DecoderSession:
         # Telemetry updates then lag the input by one block.
         self.pipelined = pipelined
         self._pending = None
+        # host_workers > 1: byte-level FEC/parse is sharded across a thread
+        # pool on CHANNEL-ALIGNED row ranges — each worker touches a disjoint
+        # set of channels, so the decoder's per-channel state (calibration
+        # accumulators) is single-writer; the numpy-vectorized parse releases
+        # the GIL, so threads scale it (the reference scales host decode the
+        # same way: one thread per decoder block, SURVEY.md C2)
+        self.host_workers = int(host_workers)
+        self._pool = None
+        if self.host_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=self.host_workers)
 
     def reset_channel(self, channel: int) -> None:
         """Drop a channel's host state (elastic recovery, SURVEY.md §5.3);
@@ -132,50 +142,104 @@ class DecoderSession:
         ch_idx, slot_idx = np.nonzero(valid)
         frames = all_frames[ch_idx, slot_idx]                 # [n, wire_ncols]
         self.frames_seen += frames.shape[0]
+        clean = rs_clean[ch_idx, slot_idx]
         cols = self.config.wire_columns
+        # compact mode: prefetch suspect full frames in ONE device gather so
+        # workers stay pure-numpy
+        full = None
+        sus_ord = None
         if cols is not None:
-            frags = self._decode_compact(out, frames, ch_idx, slot_idx,
-                                         rs_clean[ch_idx, slot_idx], cols)
+            suspect = ~clean
+            if suspect.any():
+                full = self.pipeline.fetch_frames(
+                    out.frames, ch_idx[suspect], slot_idx[suspect])
+                sus_ord = np.cumsum(suspect) - 1
+        if self._pool is not None and ch_idx.size >= 4 * self.host_workers:
+            frags = self._decode_parallel(frames, ch_idx, clean, cols,
+                                          full, sus_ord)
+        elif cols is not None:
+            frags = self._decode_rows(frames, ch_idx, clean, cols,
+                                      full, sus_ord, 0)
         # frames arrive as descrambled bytes (packed + de-whitened on device);
         # decoders that understand the device RS-syndrome verdict skip host
         # FEC for clean frames
         elif getattr(self.decoder, "wants_rs_clean", False):
-            frags = self.decoder.decode_byte_frames(
-                frames, ch_idx, rs_clean=rs_clean[ch_idx, slot_idx])
+            frags = self.decoder.decode_byte_frames(frames, ch_idx,
+                                                    rs_clean=clean)
         else:
             frags = self.decoder.decode_byte_frames(frames, ch_idx)
-        updates: List[Tuple[int, SondeTelemetry]] = []
-        for ch, frag in frags:
-            telem = self.telemetry.setdefault(int(ch), SondeTelemetry())
-            if telem.merge(frag):
-                self._last_update_block[int(ch)] = self.blocks_seen
-                # snapshot: the live object keeps mutating on later frames
-                snap = replace(telem)
-                updates.append((int(ch), snap))
-                if self.on_update:
-                    self.on_update(int(ch), snap)
+        updates = self._merge_frags(frags)
         return updates, int(frames.shape[0]), len(frags), soft_rms
 
-    def _decode_compact(self, out: BlockOutput, wire: np.ndarray,
-                        ch_idx: np.ndarray, slot_idx: np.ndarray,
-                        clean: np.ndarray, cols: np.ndarray):
-        """Compact wire-column readback (spec.extra['wire_columns']):
-        RS-clean frames are reconstructed column-sparse and parsed without
-        CRC re-checks (the device syndrome already proves integrity);
-        suspect frames are fetched in full off the device for host FEC."""
+    def _merge_frags(self, frags) -> List[Tuple[int, SondeTelemetry]]:
+        updates: List[Tuple[int, SondeTelemetry]] = []
+        telemetry = self.telemetry
+        blocks_seen = self.blocks_seen
+        last_update = self._last_update_block
+        on_update = self.on_update
+        for ch, frag in frags:
+            ch = int(ch)
+            telem = telemetry.get(ch)
+            if telem is None:
+                telem = telemetry[ch] = SondeTelemetry()
+            if telem.merge(frag):
+                last_update[ch] = blocks_seen
+                # snapshot: the live object keeps mutating on later frames
+                snap = telem.snapshot()
+                updates.append((ch, snap))
+                if on_update:
+                    on_update(ch, snap)
+        return updates
+
+    def _decode_rows(self, wire: np.ndarray, ch: np.ndarray,
+                     clean: np.ndarray, cols: np.ndarray,
+                     full: Optional[np.ndarray], sus_ord: Optional[np.ndarray],
+                     row0: int):
+        """Compact wire-column readback (spec.extra['wire_columns']) for one
+        row range [row0, row0+len): RS-clean frames are reconstructed
+        column-sparse and parsed without CRC re-checks (the device syndrome
+        already proves integrity); suspect frames use the prefetched full
+        gather ``full`` (``sus_ord`` maps global row -> row of full)."""
         fb = self.config.spec.frame_bytes
         frags = []
         if clean.any():
             recon = np.zeros((int(clean.sum()), fb), np.uint8)
             recon[:, np.asarray(cols)] = wire[clean]
             frags += self.decoder.decode_byte_frames(
-                recon, ch_idx[clean], rs_clean=np.ones(recon.shape[0], bool),
+                recon, ch[clean], rs_clean=np.ones(recon.shape[0], bool),
                 crc_present=False)
         suspect = ~clean
         if suspect.any():
-            full = self.pipeline.fetch_frames(
-                out.frames, ch_idx[suspect], slot_idx[suspect])
+            rows = np.nonzero(suspect)[0] + row0
             frags += self.decoder.decode_byte_frames(
-                full, ch_idx[suspect],
-                rs_clean=np.zeros(full.shape[0], bool))
+                full[sus_ord[rows]], ch[suspect],
+                rs_clean=np.zeros(int(suspect.sum()), bool))
         return frags
+
+    def _decode_parallel(self, frames: np.ndarray, ch_idx: np.ndarray,
+                         clean: np.ndarray, cols, full, sus_ord):
+        """Shard the byte-level decode over the thread pool on channel-
+        aligned row ranges (ch_idx is sorted: np.nonzero row order)."""
+        n = ch_idx.size
+        w = self.host_workers
+        bounds = [0]
+        for k in range(1, w):
+            p = k * n // w
+            while 0 < p < n and ch_idx[p] == ch_idx[p - 1]:
+                p += 1                  # never split a channel across workers
+            bounds.append(p)
+        bounds.append(n)
+        ranges = [(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
+
+        def work(ab):
+            a, b = ab
+            sl = slice(a, b)
+            if cols is not None:
+                return self._decode_rows(frames[sl], ch_idx[sl], clean[sl],
+                                         cols, full, sus_ord, a)
+            if getattr(self.decoder, "wants_rs_clean", False):
+                return self.decoder.decode_byte_frames(
+                    frames[sl], ch_idx[sl], rs_clean=clean[sl])
+            return self.decoder.decode_byte_frames(frames[sl], ch_idx[sl])
+
+        return [f for r in self._pool.map(work, ranges) for f in r]

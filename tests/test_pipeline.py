@@ -86,6 +86,33 @@ def test_rs41_multichannel_independent_streams():
         assert sess.telemetry[c].serial == s
 
 
+def test_host_workers_parallel_decode_matches_serial():
+    """host_workers>1 (channel-sharded thread-pool parse) yields the same
+    telemetry as the serial path — workers own disjoint channel ranges so
+    per-channel decoder state stays single-writer."""
+    mod = RS41Modulator()
+    fs = 48000.0
+    serials = [f"W{k:07d}" for k in range(8)]
+    chans = []
+    for s in serials:
+        truths = [RS41Truth(frame_no=10 + i, serial=s, alt=5000.0 + 100 * i)
+                  for i in range(4)]
+        chans.append(mod.modulate(truths, fs=fs))
+    nmin = min(x.size for x in chans)
+    iq = np.stack([x[:nmin] for x in chans])
+    results = []
+    for workers in (0, 3):
+        cfg = PipelineConfig(sonde="rs41", channels=8, block_len=48000)
+        sess = DecoderSession(cfg, host_workers=workers)
+        ups = []
+        for i in range(0, nmin - cfg.block_len + 1, cfg.block_len):
+            ups += sess.process_block(iq[:, i:i + cfg.block_len])
+        results.append((sorted((ch, t.seq, t.serial, t.alt) for ch, t in ups),
+                        {c: sess.telemetry[c].serial for c in sess.telemetry}))
+    assert results[0] == results[1]
+    assert results[0][1] == {c: serials[c] for c in range(8)}
+
+
 def test_rs41_block_size_invariance():
     """Chunked == unchunked (SURVEY.md §7: 'chunked decode == unchunked
     decode for any block size')."""

@@ -1,112 +1,83 @@
-"""Stage-by-stage device timing of the RS41 pipeline step (dev tool).
+#!/usr/bin/env python
+"""Per-stage device cost of the decode pipeline via stop-after ablation.
 
-NOTE: on the tunneled backend, jax.block_until_ready does NOT reliably wait
-for execution; every measurement here forces execution by reading back a
-tiny reduction of the stage output (np.asarray of a scalar), which costs a
-constant ~23 ms RTT — compare stages relative to the 'noop' row.
+Compiles the step truncated after each successive stage
+(PipelineConfig.profile_stop) and times a queued run of each; consecutive
+differences are per-stage device milliseconds. The tunneled TPU backend's
+block_until_ready does not synchronize, so each timing drains the queue
+with a tiny scalar readback.
+
+Usage: python tools/profile_stages.py [channels] [block_secs] [sonde]
 """
+
+import os
 import sys
-sys.path.insert(0, "/root/repo")
 import time
+
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from sondetpu.dsp.fir import _apply_windows, design_lowpass
-from sondetpu.sync.timing import oerder_meyr_tau
-from sondetpu.sync.correlator import correlate_syncword, find_frame_starts, gather_frames
-from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
+# repo root on sys.path (do NOT use PYTHONPATH: it breaks the axon PJRT
+# plugin discovery on the tunneled-TPU image)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-C = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-SECS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-N = 48000 * SECS
-rng = np.random.default_rng(0)
+STAGES = ["chanfilt", "demod", "timing", "sample", "corr", "peaks",
+          "gather", "syndrome", None]
 
 
-def bench(name, fn, *args, iters=5):
-    # reduce to a scalar (full sum so nothing dead-code-eliminates) and read
-    # it back: one RTT, forces execution on the tunneled backend
-    f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
-    _ = np.asarray(f(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _ = np.asarray(f(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f"{name:40s} {min(ts)*1e3:8.1f} ms", flush=True)
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
+    from sondetpu.sondes.base import get_sonde
+
+    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    block_secs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sonde = sys.argv[3] if len(sys.argv) > 3 else "rs41"
+    block_len = 48000 * block_secs
+
+    # representative modulated signal
+    from sondetpu.sondes.rs41 import RS41Truth
+    fam = get_sonde(sonde)
+    mod = fam["modulator"]()
+    iq1 = mod.modulate([RS41Truth(frame_no=i) for i in range(2 * block_secs + 1)],
+                       fs=48000.0)[:block_len]
+    rng = np.random.default_rng(0)
+    noisy = iq1 + (rng.normal(size=iq1.shape) + 1j * rng.normal(size=iq1.shape)
+                   ).astype(np.complex64) * 0.1
+    iq_i = jax.device_put(np.tile(noisy.real.astype(np.float32)[None, :],
+                                  (channels, 1)))
+    iq_q = jax.device_put(np.tile(noisy.imag.astype(np.float32)[None, :],
+                                  (channels, 1)))
+
+    n_iter = 8
+    prev_ms = 0.0
+    print(f"{'stage':>10} {'cum_ms':>9} {'stage_ms':>9}")
+    for stage in STAGES:
+        cfg = PipelineConfig(sonde=sonde, channels=channels,
+                             block_len=block_len, profile_stop=stage)
+        pipe = Pipeline(cfg)
+        state0 = pipe.init_state()
+        if stage is None:
+            state, out = pipe.step(state0, (iq_i, iq_q))
+            np.asarray(out.soft_rms)
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                state, out = pipe.step(state, (iq_i, iq_q))
+            np.asarray(out.soft_rms)
+        else:
+            out = pipe.step(state0, (iq_i, iq_q))
+            np.asarray(out)
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = pipe.step(state0, (iq_i, iq_q))
+            np.asarray(out)
+        ms = (time.perf_counter() - t0) / n_iter * 1e3
+        print(f"{stage or 'FULL':>10} {ms:9.2f} {ms - prev_ms:9.2f}",
+              flush=True)
+        prev_ms = ms
 
 
-cfg = PipelineConfig(sonde="rs41", channels=C, block_len=N)
-pipe = Pipeline(cfg)
-row = rng.normal(size=N).astype(np.float32)
-x = jax.device_put(np.tile(row[None], (C, 1)))
-y = jax.device_put(np.tile(row[None] * 0.7, (C, 1)))
-taps = design_lowpass(2640.0, 48000.0, 41)
-
-bench("noop (RTT floor)", lambda a: a[:1, :1], x)
-bench("chan filter conv s2 (I+Q)", lambda a, b: (
-    _apply_windows(jnp.pad(a, ((0, 0), (40, 0))), taps, stride=2)
-    + _apply_windows(jnp.pad(b, ((0, 0), (40, 0))), taps, stride=2)), x, y)
-
-M = N // 2
-rowh = rng.normal(size=M).astype(np.float32)
-xh = jax.device_put(np.tile(rowh[None], (C, 1)))
-yh = jax.device_put(np.tile(rowh[None] * 0.9, (C, 1)))
-
-
-def fm(a, b):
-    pi_ = jnp.concatenate([a[:, 0:1], a[:, :-1]], axis=-1)
-    pq_ = jnp.concatenate([b[:, 0:1], b[:, :-1]], axis=-1)
-    dre = a * pi_ + b * pq_
-    dim = b * pi_ - a * pq_
-    au = jnp.arctan2(dim, dre)
-    return au - jnp.mean(au, axis=-1, keepdims=True)
-
-
-bench("fm demod + dc", fm, xh, yh)
-bench("matched fir", lambda a: _apply_windows(jnp.pad(a, ((0, 0), (40, 0))), taps), xh)
-bench("oerder_meyr tau", lambda a: oerder_meyr_tau(a, 5.0), xh)
-
-buf = jax.device_put(np.tile(rng.normal(size=cfg.buf_len).astype(np.float32)[None],
-                             (C, 1)))
-tmpl = pipe._template
-bench("syncword correlator", lambda a: correlate_syncword(a, tmpl), buf)
-
-corr = jax.jit(lambda a: correlate_syncword(a, tmpl))(buf)
-K = cfg.k_slots
-bench(f"find starts (K={K})", lambda cr: find_frame_starts(
-    cr, 0.6, K, 640)[0], corr)
-starts, ok = jax.jit(lambda cr: find_frame_starts(cr, 0.6, K, 640))(corr)
-bench("gather frames (u8 pre-sliced)", lambda b, s, o: gather_frames(
-    (b > 0).astype(jnp.uint8), s, o, cfg.frame_chips)[0], buf, starts, ok)
-
-hard = jax.jit(lambda b, s, o: gather_frames((b > 0).astype(jnp.uint8), s, o,
-                                             cfg.frame_chips)[0])(buf, starts, ok)
-
-
-def pack_bytes(ch):
-    bits8 = ch.reshape(ch.shape[0], ch.shape[1], cfg.spec.frame_bytes, 8)
-    w = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.int32)
-    return jnp.sum(bits8.astype(jnp.int32) * w, axis=-1).astype(jnp.uint8)
-
-
-bench("bit->byte pack + whiten", pack_bytes, hard)
-
-
-def sample(f):
-    start = jnp.zeros((C,), jnp.float32) + 2.3
-    return pipe._sample_symbols(f, start, 5.0, cfg.chips_per_block)
-
-
-bench("symbol sampling", sample, xh)
-
-st = pipe.init_state()
-st, out = pipe.step(st, (x, y))
-_ = np.asarray(out.packed)
-ts = []
-for _ in range(5):
-    t0 = time.perf_counter()
-    st, out = pipe.step(st, (x, y))
-    p = np.asarray(out.packed)
-    ts.append(time.perf_counter() - t0)
-print(f"{'FULL STEP + packed readback':40s} {min(ts)*1e3:8.1f} ms")
+if __name__ == "__main__":
+    main()
