@@ -111,9 +111,10 @@ def fused_demod_fir(iq_i, iq_q, prev, atail, taps, scale, *,
 # Full front-end kernel: channel filter + decimate + FM demod + matched FIR
 # ---------------------------------------------------------------------------
 
-HALO = 128   # full-rate history samples each chunk reads (>= decim*ntaps
-             # + ntaps - 1 for the chanfilt+demod+matched chain; 128 keeps
-             # the halo BlockSpec lane-aligned)
+HALO = 256   # full-rate history samples each chunk reads (>= decim*ntaps
+             # + ntaps - 1 for the chanfilt+demod+matched chain; 256 keeps
+             # the halo BlockSpec lane-aligned even at half rate, where the
+             # decim=2 kernel's per-phase halo blocks are HALO//2 = 128)
 
 
 def frontend_chunk(n: int, max_chunk: int = 4096):
@@ -154,19 +155,7 @@ def _frontend_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
     xw_q = jnp.concatenate([hq, body_q[:]], axis=-1)
 
     def chanfilt(xw):
-        # cf[k] = sum_u hc[u] * x[d*P_k - u], P_k = j*ckd - T + k
-        if decim == 2:
-            xr = xw.reshape(xw.shape[0], -1, 2)
-            xe, xo = xr[:, :, 0], xr[:, :, 1]
-            acc = jnp.zeros((xw.shape[0], cp), jnp.float32)
-            for u in range(T):
-                b = HALO - 2 * T - u       # local full-rate index at k=0
-                h = chan_taps[0, u]
-                if b % 2 == 0:
-                    acc = acc + h * xe[:, b // 2: b // 2 + cp]
-                else:
-                    acc = acc + h * xo[:, (b - 1) // 2: (b - 1) // 2 + cp]
-            return acc
+        # cf[k] = sum_u hc[u] * x[P_k - u], P_k = j*ckd - T + k (decim == 1)
         acc = jnp.zeros((xw.shape[0], cp), jnp.float32)
         for u in range(T):
             b = HALO - T - u
@@ -187,11 +176,70 @@ def _frontend_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
         o = T - 1 - u
         acc = acc + match_taps[0, u] * audio[:, o: o + ckd]
     filt_ref[:] = acc
-    # this chunk's proc-rate audio samples for the block DC estimate; the
-    # [TC, nchunks] sums block persists across the j grid dimension (same
-    # index for all j) and each cell fills its own column
-    sum_ref[:, pl.ds(j, 1)] = jnp.sum(audio[:, T - 1: T - 1 + ckd], axis=-1,
-                                      keepdims=True)
+    # this chunk's proc-rate audio sum for the block DC estimate; each grid
+    # cell owns its own [TC, 1] output block (a dynamic lane store into a
+    # shared block is not lowerable on TPU)
+    sum_ref[:] = jnp.sum(audio[:, T - 1: T - 1 + ckd], axis=-1,
+                         keepdims=True)
+
+
+def _frontend_kernel_d2(be_i, bo_i, be_q, bo_q, he_i, ho_i, he_q, ho_q,
+                        te_i, to_i, te_q, to_q,
+                        chan_taps, match_taps, scale_ref,
+                        filt_ref, sum_ref, *, ntaps: int):
+    """decim == 2 variant of :func:`_frontend_kernel`.
+
+    Mosaic cannot lower the even/odd deinterleaving reshape inside a kernel
+    ("unsupported shape cast"), so the caller deinterleaves the input planes
+    in XLA and this kernel receives each plane as two half-rate phase
+    arrays (even = full-rate index 2t, odd = 2t+1). Every slice below is
+    contiguous. Output k at tap u reads full-rate window index
+    b + 2k with b = HALO - 2T - u, i.e. phase ``u & 1`` at half-rate offset
+    b//2 + k — identical arithmetic to the old in-kernel deinterleave.
+    """
+    j = pl.program_id(1)
+    T = ntaps
+    ckd = be_i.shape[-1]            # half-rate chunk length == ck // 2
+    cp = ckd + T
+
+    def window(t, h, b):
+        return jnp.concatenate([jnp.where(j == 0, t[:], h[:]), b[:]], axis=-1)
+
+    xe_i = window(te_i, he_i, be_i)  # [TC, HALO//2 + ckd]
+    xo_i = window(to_i, ho_i, bo_i)
+    xe_q = window(te_q, he_q, be_q)
+    xo_q = window(to_q, ho_q, bo_q)
+
+    def chanfilt(xe, xo):
+        acc = jnp.zeros((xe.shape[0], cp), jnp.float32)
+        for u in range(T):
+            b = HALO - 2 * T - u       # local full-rate index at k=0
+            h = chan_taps[0, u]
+            x = xe if b % 2 == 0 else xo
+            acc = acc + h * x[:, b // 2: b // 2 + cp]
+        return acc
+
+    cf_i = chanfilt(xe_i, xo_i)
+    cf_q = chanfilt(xe_q, xo_q)
+
+    dre = cf_i[:, 1:] * cf_i[:, :-1] + cf_q[:, 1:] * cf_q[:, :-1]
+    dim = cf_q[:, 1:] * cf_i[:, :-1] - cf_i[:, 1:] * cf_q[:, :-1]
+    audio = fast_atan2(dim, dre) * scale_ref[0, 0]     # [TC, cp - 1]
+
+    acc = jnp.zeros((audio.shape[0], ckd), jnp.float32)
+    for u in range(T):
+        o = T - 1 - u
+        acc = acc + match_taps[0, u] * audio[:, o: o + ckd]
+    filt_ref[:] = acc
+    sum_ref[:] = jnp.sum(audio[:, T - 1: T - 1 + ckd], axis=-1,
+                         keepdims=True)
+
+
+def _deinterleave(x):
+    """[C, n] -> even/odd phase planes ([C, n//2] each), in XLA."""
+    c, n = x.shape
+    xr = x.reshape(c, n // 2, 2)
+    return xr[:, :, 0], xr[:, :, 1]
 
 
 @functools.partial(jax.jit, static_argnames=("ntaps", "decim", "chunk",
@@ -216,39 +264,64 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
     c, n = iq_i.shape
     assert n % chunk == 0 and chunk % HALO == 0, (n, chunk)
     assert decim * ntaps + ntaps - 1 <= HALO, (ntaps, decim)
+    assert decim in (1, 2), decim
     tc = 64 if c % 64 == 0 else 8
     assert c % tc == 0, c
     nchunks = n // chunk
     ckd = chunk // decim
-    kern = functools.partial(_frontend_kernel, ntaps=ntaps, decim=decim)
     hblk = chunk // HALO
-    filt, sums = pl.pallas_call(
-        kern,
-        grid=(c // tc, nchunks),
-        in_specs=[
-            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
-            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
-            pl.BlockSpec((tc, HALO),
-                         lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
-            pl.BlockSpec((tc, HALO),
-                         lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
-            pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
-            pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tc, ckd), lambda i, j: (i, j)),
-            pl.BlockSpec((tc, nchunks), lambda i, j: (i, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((c, n // decim), jnp.float32),
-            jax.ShapeDtypeStruct((c, nchunks), jnp.float32),
-        ),
-        interpret=interpret,
-    )(iq_i, iq_q, iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale)
+    taps_specs = [
+        pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((tc, ckd), lambda i, j: (i, j)),
+        pl.BlockSpec((tc, 1), lambda i, j: (i, j)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((c, n // decim), jnp.float32),
+        jax.ShapeDtypeStruct((c, nchunks), jnp.float32),
+    )
+    if decim == 2:
+        # deinterleave in XLA (Mosaic can't reshape-deinterleave in-kernel);
+        # each phase plane then flows through half-rate body/halo/tail specs
+        planes = [p for x in (iq_i, iq_q) for p in _deinterleave(x)]
+        tails = [p for t in (tail_i, tail_q) for p in _deinterleave(t)]
+        hh = HALO // 2
+        body = [pl.BlockSpec((tc, chunk // 2), lambda i, j: (i, j))
+                for _ in range(4)]
+        halo = [pl.BlockSpec((tc, hh),
+                             lambda i, j: (i, jnp.maximum(j * hblk - 1, 0)))
+                for _ in range(4)]
+        tail = [pl.BlockSpec((tc, hh), lambda i, j: (i, 0)) for _ in range(4)]
+        filt, sums = pl.pallas_call(
+            functools.partial(_frontend_kernel_d2, ntaps=ntaps),
+            grid=(c // tc, nchunks),
+            in_specs=body + halo + tail + taps_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*planes, *planes, *tails, chan_taps, match_taps, scale)
+    else:
+        kern = functools.partial(_frontend_kernel, ntaps=ntaps, decim=decim)
+        filt, sums = pl.pallas_call(
+            kern,
+            grid=(c // tc, nchunks),
+            in_specs=[
+                pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+                pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+                pl.BlockSpec((tc, HALO),
+                             lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
+                pl.BlockSpec((tc, HALO),
+                             lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
+                pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
+                pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
+            ] + taps_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(iq_i, iq_q, iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale)
     if dc_block:
         filt = filt - (jnp.sum(sums, axis=-1) / (n // decim))[:, None]
     return filt, iq_i[:, -HALO:], iq_q[:, -HALO:]
