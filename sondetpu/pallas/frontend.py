@@ -118,35 +118,44 @@ HALO = 256   # full-rate history samples each chunk reads (>= decim*ntaps
 
 
 def frontend_chunk(n: int, max_chunk: int = 4096):
-    """Largest multiple-of-HALO divisor of ``n`` up to ``max_chunk``.
+    """Pick the time-chunk size for :func:`fused_frontend`.
 
-    Returns None when no valid chunking exists (caller falls back to the
-    jnp path)."""
-    best = None
+    Chunks must be multiples of HALO; blocks that are not a multiple of the
+    chunk are zero-padded in XLA and the outputs trimmed (fused_frontend
+    handles both), so this returns the chunk minimizing the padded total
+    ``ceil(n/chunk)*chunk`` (tie-break: larger chunk = fewer grid steps).
+    E.g. the default 48000-sample block -> chunk 1024, 128 pad samples
+    (0.27% waste). Returns None only for blocks shorter than HALO."""
+    if n < HALO:
+        return None
+    best, best_pad = None, None
     for k in range(1, max_chunk // HALO + 1):
         ck = k * HALO
-        if n % ck == 0:
-            best = ck
+        padded = -(-n // ck) * ck
+        if best_pad is None or padded <= best_pad:
+            best, best_pad = ck, padded
     return best
 
 
 def _frontend_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
                      chan_taps, match_taps, scale_ref,
-                     filt_ref, sum_ref, *, ntaps: int, decim: int):
-    """One (channel-tile, time-chunk) grid cell of the fused front end.
+                     filt_ref, sum_ref, *, ntaps: int, valid: int | None):
+    """One (channel-tile, time-chunk) grid cell of the fused front end
+    (decim == 1; the strided variant is :func:`_frontend_kernel_d2`).
 
     Window = [HALO carried/previous samples | CHUNK new samples] at the
     full input rate; everything below runs in VMEM:
-      channel filter (stride ``decim``) -> FM quadrature discriminator
-      (polynomial atan2) -> matched FIR -> CHUNK/decim filtered outputs
-      plus the per-chunk audio sum (for the block DC estimate, subtracted
-      by the caller: the matched filter has unity DC gain so subtracting
-      after filtering equals the jnp path's subtract-before).
+      channel filter -> FM quadrature discriminator (polynomial atan2)
+      -> matched FIR -> CHUNK filtered outputs plus the per-chunk audio
+      sum (for the block DC estimate, subtracted by the caller: the
+      matched filter has unity DC gain so subtracting after filtering
+      equals the jnp path's subtract-before). ``valid`` (set when the
+      caller zero-padded the block to a chunk multiple) masks pad-region
+      audio out of the DC sum.
     """
     j = pl.program_id(1)
     T = ntaps
-    ck = body_i.shape[-1]
-    ckd = ck // decim
+    ckd = body_i.shape[-1]
     cp = ckd + T                    # chanfilt outputs incl. demod/FIR history
 
     hi = jnp.where(j == 0, tail_i[:], halo_i[:])
@@ -179,14 +188,21 @@ def _frontend_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
     # this chunk's proc-rate audio sum for the block DC estimate; each grid
     # cell owns its own [TC, 1] output block (a dynamic lane store into a
     # shared block is not lowerable on TPU)
-    sum_ref[:] = jnp.sum(audio[:, T - 1: T - 1 + ckd], axis=-1,
-                         keepdims=True)
+    sum_ref[:] = _dc_sum(audio[:, T - 1: T - 1 + ckd], j, ckd, valid)
+
+
+def _dc_sum(chunk_audio, j, ckd, valid):
+    """Per-chunk audio sum, masking proc indices >= ``valid`` (pad region)."""
+    if valid is not None:
+        gidx = j * ckd + jax.lax.broadcasted_iota(jnp.int32, (1, ckd), 1)
+        chunk_audio = jnp.where(gidx < valid, chunk_audio, 0.0)
+    return jnp.sum(chunk_audio, axis=-1, keepdims=True)
 
 
 def _frontend_kernel_d2(be_i, bo_i, be_q, bo_q, he_i, ho_i, he_q, ho_q,
                         te_i, to_i, te_q, to_q,
                         chan_taps, match_taps, scale_ref,
-                        filt_ref, sum_ref, *, ntaps: int):
+                        filt_ref, sum_ref, *, ntaps: int, valid: int | None):
     """decim == 2 variant of :func:`_frontend_kernel`.
 
     Mosaic cannot lower the even/odd deinterleaving reshape inside a kernel
@@ -231,8 +247,7 @@ def _frontend_kernel_d2(be_i, bo_i, be_q, bo_q, he_i, ho_i, he_q, ho_q,
         o = T - 1 - u
         acc = acc + match_taps[0, u] * audio[:, o: o + ckd]
     filt_ref[:] = acc
-    sum_ref[:] = jnp.sum(audio[:, T - 1: T - 1 + ckd], axis=-1,
-                         keepdims=True)
+    sum_ref[:] = _dc_sum(audio[:, T - 1: T - 1 + ckd], j, ckd, valid)
 
 
 def _deinterleave(x):
@@ -257,16 +272,27 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
     pallas_call loop of the original fused_demod_fir (measured 7x slower:
     32 dispatches per block, each materializing an HBM slice).
 
-    iq planes [C, n] float32 (n % chunk == 0, chunk % HALO == 0);
+    iq planes [C, n] float32 (chunk % HALO == 0; n is zero-padded in XLA
+    up to a chunk multiple and the outputs trimmed, so any n >= decim
+    works — the default 48000-sample block pads 128 samples);
     tails [C, HALO] raw input carry; taps [1, ntaps]; scale [1, 1].
     Returns (filt [C, n//decim], new_tail_i, new_tail_q).
     """
     c, n = iq_i.shape
-    assert n % chunk == 0 and chunk % HALO == 0, (n, chunk)
+    assert chunk % HALO == 0 and n % decim == 0, (n, chunk)
     assert decim * ntaps + ntaps - 1 <= HALO, (ntaps, decim)
     assert decim in (1, 2), decim
     tc = 64 if c % 64 == 0 else 8
     assert c % tc == 0, c
+    # tails come from the REAL input; pad after
+    new_tail_i, new_tail_q = iq_i[:, -HALO:], iq_q[:, -HALO:]
+    n_valid = n // decim
+    pad = -n % chunk
+    if pad:
+        iq_i = jnp.pad(iq_i, ((0, 0), (0, pad)))
+        iq_q = jnp.pad(iq_q, ((0, 0), (0, pad)))
+        n = n + pad
+    valid = n_valid if pad else None   # mask pad audio out of the DC sums
     nchunks = n // chunk
     ckd = chunk // decim
     hblk = chunk // HALO
@@ -296,7 +322,7 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
                 for _ in range(4)]
         tail = [pl.BlockSpec((tc, hh), lambda i, j: (i, 0)) for _ in range(4)]
         filt, sums = pl.pallas_call(
-            functools.partial(_frontend_kernel_d2, ntaps=ntaps),
+            functools.partial(_frontend_kernel_d2, ntaps=ntaps, valid=valid),
             grid=(c // tc, nchunks),
             in_specs=body + halo + tail + taps_specs,
             out_specs=out_specs,
@@ -304,7 +330,7 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
             interpret=interpret,
         )(*planes, *planes, *tails, chan_taps, match_taps, scale)
     else:
-        kern = functools.partial(_frontend_kernel, ntaps=ntaps, decim=decim)
+        kern = functools.partial(_frontend_kernel, ntaps=ntaps, valid=valid)
         filt, sums = pl.pallas_call(
             kern,
             grid=(c // tc, nchunks),
@@ -322,9 +348,11 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
             out_shape=out_shape,
             interpret=interpret,
         )(iq_i, iq_q, iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale)
+    if pad:
+        filt = filt[:, :n_valid]
     if dc_block:
-        filt = filt - (jnp.sum(sums, axis=-1) / (n // decim))[:, None]
-    return filt, iq_i[:, -HALO:], iq_q[:, -HALO:]
+        filt = filt - (jnp.sum(sums, axis=-1) / n_valid)[:, None]
+    return filt, new_tail_i, new_tail_q
 
 
 @functools.partial(jax.jit,

@@ -216,8 +216,9 @@ class Pipeline:
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
         # fused Pallas front end (chanfilt+decimate+demod+matched FIR in one
-        # VMEM pass) needs a chunking that divides the block and channels
-        # aligned to the tile
+        # VMEM pass): blocks that aren't a chunk multiple are padded in XLA
+        # and trimmed inside fused_frontend, so any block_len >= HALO keeps
+        # the Pallas path; channels must align to the tile
         from sondetpu.pallas.frontend import HALO, frontend_chunk
         self._fe_chunk = frontend_chunk(c.block_len)
         self._fe_halo = HALO

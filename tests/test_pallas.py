@@ -85,6 +85,54 @@ def test_fused_frontend_matches_jnp(decim):
     np.testing.assert_allclose(np.asarray(nt_q), q[:, -HALO:], atol=0)
 
 
+@pytest.mark.parametrize("decim", [1, 2])
+def test_fused_frontend_padded_block(decim):
+    """A block length with no chunk divisor (the default 48000) is padded
+    in XLA and trimmed: outputs, tails, and the DC estimate still match the
+    jnp reference exactly (pad audio is masked out of the DC sums)."""
+    from sondetpu.pallas.frontend import HALO, fused_frontend, frontend_chunk
+
+    rng = np.random.default_rng(3)
+    C, N, ntaps = 8, 4800, 41
+    fs, dev = 48000.0, 2400.0
+    chunk = frontend_chunk(N)
+    assert chunk is not None and N % chunk != 0   # exercises the pad path
+    total = np.stack([rng.normal(size=(C, N + HALO)).astype(np.float32),
+                      rng.normal(size=(C, N + HALO)).astype(np.float32)])
+    tail_i, i = total[0, :, :HALO], total[0, :, HALO:]
+    tail_q, q = total[1, :, :HALO], total[1, :, HALO:]
+    chan_taps = design_lowpass(5000.0, fs, ntaps)
+    match_taps = design_lowpass(2640.0, fs / decim, ntaps)
+    scale = np.float32(fs / decim / (2 * np.pi * dev))
+
+    fi = np.asarray(_apply_windows(jnp.asarray(
+        np.pad(total[0], ((0, 0), (ntaps - 1, 0)))), jnp.asarray(chan_taps),
+        stride=decim))
+    fq = np.asarray(_apply_windows(jnp.asarray(
+        np.pad(total[1], ((0, 0), (ntaps - 1, 0)))), jnp.asarray(chan_taps),
+        stride=decim))
+    dre = fi[:, 1:] * fi[:, :-1] + fq[:, 1:] * fq[:, :-1]
+    dim = fq[:, 1:] * fi[:, :-1] - fi[:, 1:] * fq[:, :-1]
+    audio = np.concatenate([np.zeros((C, 1), np.float32),
+                            np.arctan2(dim, dre) * scale], axis=-1)
+    blk = N // decim
+    mean = audio[:, -blk:].mean(axis=-1, keepdims=True)
+    filt_full = np.asarray(_apply_windows(jnp.asarray(
+        np.pad(audio - mean, ((0, 0), (ntaps - 1, 0)))),
+        jnp.asarray(match_taps)))
+    want = filt_full[:, -blk:]
+
+    got, nt_i, nt_q = fused_frontend(
+        jnp.asarray(i), jnp.asarray(q), jnp.asarray(tail_i),
+        jnp.asarray(tail_q), jnp.asarray(chan_taps[None, :]),
+        jnp.asarray(match_taps[None, :]), jnp.asarray([[scale]]),
+        ntaps=ntaps, decim=decim, chunk=chunk, dc_block=True, interpret=True)
+    assert got.shape == (C, blk)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(nt_i), i[:, -HALO:], atol=0)
+    np.testing.assert_allclose(np.asarray(nt_q), q[:, -HALO:], atol=0)
+
+
 def test_pallas_pipeline_end_to_end():
     """Full RS41 decode with use_pallas=True (interpret on CPU) matches the
     jnp path's telemetry."""
@@ -100,6 +148,9 @@ def test_pallas_pipeline_end_to_end():
     cfg = PipelineConfig(sonde="rs41", channels=8, block_len=48000,
                          use_pallas=True)
     sess = DecoderSession(cfg)
+    # the point of this test is the Pallas path: a silent jnp fallback
+    # (e.g. no valid chunking for this block_len) must fail, not pass
+    assert sess.pipeline._pallas
     n = iq.shape[1]
     for i in range(0, n - 48000 + 1, 48000):
         sess.process_block(iq[:, i:i + 48000])
