@@ -26,6 +26,10 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: repeated bench runs (and the driver's
+    # end-of-round run) skip the minutes-long remote compile
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
     from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
@@ -35,7 +39,10 @@ def main():
     block_len = 48000 * block_secs   # multi-second blocks amortize the
     fs = 48000.0                     # RTT-dominated dispatch + readback
 
-    cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=block_len)
+    import os
+    use_pallas = bool(int(os.environ.get("SONDETPU_PALLAS", "0")))
+    cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=block_len,
+                         use_pallas=use_pallas)
     pipe = Pipeline(cfg)
     state = pipe.init_state()
 

@@ -191,12 +191,28 @@ def _frontend_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
     sum_ref[:] = _dc_sum(audio[:, T - 1: T - 1 + ckd], j, ckd, valid)
 
 
+_VMEM_LIMIT = 64 * 1024 * 1024   # raised scoped-VMEM limit (v5e has 128 MiB;
+                                 # the 16 MiB default rejects 41-tap unrolled
+                                 # kernels at useful channel tiles)
+_VMEM_PER_ELEM = 400             # conservative Mosaic stack bytes per
+                                 # (channel, sample) of a grid cell
+_VMEM_BUDGET = 3 * _VMEM_LIMIT // 4
+
+SUMW = 128   # lanes per per-chunk DC-sum cell: Mosaic requires output block
+             # lane dims divisible by 128, so each grid cell owns a full
+             # 128-lane block and broadcasts its scalar sum into it (the
+             # caller reads lane 0); a (tc, 1) block is not lowerable
+
+
 def _dc_sum(chunk_audio, j, ckd, valid):
-    """Per-chunk audio sum, masking proc indices >= ``valid`` (pad region)."""
+    """Per-chunk audio sum, masking proc indices >= ``valid`` (pad region).
+
+    Returns the sum broadcast across a [tc, SUMW] block."""
     if valid is not None:
         gidx = j * ckd + jax.lax.broadcasted_iota(jnp.int32, (1, ckd), 1)
         chunk_audio = jnp.where(gidx < valid, chunk_audio, 0.0)
-    return jnp.sum(chunk_audio, axis=-1, keepdims=True)
+    s = jnp.sum(chunk_audio, axis=-1, keepdims=True)
+    return jnp.broadcast_to(s, (chunk_audio.shape[0], SUMW))
 
 
 def _frontend_kernel_d2(be_i, bo_i, be_q, bo_q, he_i, ho_i, he_q, ho_q,
@@ -282,7 +298,15 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
     assert chunk % HALO == 0 and n % decim == 0, (n, chunk)
     assert decim * ntaps + ntaps - 1 <= HALO, (ntaps, decim)
     assert decim in (1, 2), decim
-    tc = 64 if c % 64 == 0 else 8
+    # channel tile: biggest that keeps the Mosaic stack under the scoped
+    # VMEM budget. The unrolled 41-tap loops keep ~ntaps live window slices,
+    # measured ~330 B of scoped VMEM per (channel, sample) at ntaps=41
+    # (20.85 MB at tc=64, chunk=1024), so bound tc*chunk accordingly.
+    tc = 8
+    for cand in (64, 32, 16):
+        if c % cand == 0 and cand * chunk * _VMEM_PER_ELEM <= _VMEM_BUDGET:
+            tc = cand
+            break
     assert c % tc == 0, c
     # tails come from the REAL input; pad after
     new_tail_i, new_tail_q = iq_i[:, -HALO:], iq_q[:, -HALO:]
@@ -296,6 +320,9 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
     nchunks = n // chunk
     ckd = chunk // decim
     hblk = chunk // HALO
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=_VMEM_LIMIT)
     taps_specs = [
         pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
         pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
@@ -303,11 +330,11 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
     ]
     out_specs = (
         pl.BlockSpec((tc, ckd), lambda i, j: (i, j)),
-        pl.BlockSpec((tc, 1), lambda i, j: (i, j)),
+        pl.BlockSpec((tc, SUMW), lambda i, j: (i, j)),
     )
     out_shape = (
         jax.ShapeDtypeStruct((c, n // decim), jnp.float32),
-        jax.ShapeDtypeStruct((c, nchunks), jnp.float32),
+        jax.ShapeDtypeStruct((c, nchunks * SUMW), jnp.float32),
     )
     if decim == 2:
         # deinterleave in XLA (Mosaic can't reshape-deinterleave in-kernel);
@@ -327,6 +354,7 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
             in_specs=body + halo + tail + taps_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=params,
             interpret=interpret,
         )(*planes, *planes, *tails, chan_taps, match_taps, scale)
     else:
@@ -346,12 +374,14 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
             ] + taps_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=params,
             interpret=interpret,
         )(iq_i, iq_q, iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale)
     if pad:
         filt = filt[:, :n_valid]
     if dc_block:
-        filt = filt - (jnp.sum(sums, axis=-1) / n_valid)[:, None]
+        per_chunk = sums.reshape(c, nchunks, SUMW)[:, :, 0]
+        filt = filt - (jnp.sum(per_chunk, axis=-1) / n_valid)[:, None]
     return filt, new_tail_i, new_tail_q
 
 

@@ -19,19 +19,25 @@ TILE_R = 8
 
 
 def _kernel(fr_ref, w_ref, out_ref, *, fb: int):
+    # Mosaic cannot lower the [T, fb, 8] -> [T, 8*fb] bit-flatten reshape
+    # ("unsupported shape cast"), so the GF(2) matmul runs as 8 bit-plane
+    # matmuls against a BIT-MAJOR weight layout (row = bit*fb + byte):
+    # identical arithmetic, static slices only, still MXU dots.
     fr = fr_ref[:]                                     # [T, fb] int32
-    shift = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
-    bits = ((fr[..., None] >> shift) & 1).astype(jnp.float32)
-    bits = bits.reshape(fr.shape[0], 8 * fb)
-    snd = jnp.dot(bits, w_ref[:], preferred_element_type=jnp.float32)
+    ncols = w_ref.shape[-1]
+    snd = jnp.zeros((fr.shape[0], ncols), jnp.float32)
+    for b in range(8):
+        bits = ((fr >> b) & 1).astype(jnp.float32)     # [T, fb]
+        snd = snd + jnp.dot(bits, w_ref[b * fb:(b + 1) * fb, :],
+                            preferred_element_type=jnp.float32)
     odd = jnp.bitwise_and(snd.astype(jnp.int32), 1)
     out_ref[:] = (odd.sum(axis=-1, keepdims=True) == 0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("fb", "interpret"))
 def rs_clean_kernel(frames_i32, w, *, fb: int, interpret: bool = False):
-    """frames_i32 [R, fb] (R % TILE_R == 0), w [8*fb, 8*nroots*ilv] f32 ->
-    clean [R] bool."""
+    """frames_i32 [R, fb] (R % TILE_R == 0), w [8*fb, 8*nroots*ilv] f32 in
+    BIT-MAJOR row order (row = bit*fb + byte) -> clean [R] bool."""
     r = frames_i32.shape[0]
     assert r % TILE_R == 0, r
     kern = functools.partial(_kernel, fb=fb)
@@ -57,10 +63,16 @@ def rs_clean_flags_pallas(frames, rs_layout: dict, *, interpret: bool = False):
     from sondetpu.fec.syndrome import frame_syndrome_matrix
 
     fb = frames.shape[-1]
-    w = jnp.asarray(frame_syndrome_matrix(
+    w_bytemajor = frame_syndrome_matrix(
         fb, rs_layout["data_start"], rs_layout["parity_start"],
         rs_layout["nroots"], rs_layout.get("interleave", 2),
-        rs_layout.get("fcr", 0), rs_layout.get("prim", 0x11D)))
+        rs_layout.get("fcr", 0), rs_layout.get("prim", 0x11D))
+    # byte-major rows (byte*8 + bit) -> bit-major rows (bit*fb + byte) for
+    # the kernel's per-bit-plane matmuls
+    ncols = w_bytemajor.shape[-1]
+    w = jnp.asarray(np.ascontiguousarray(
+        np.asarray(w_bytemajor).reshape(fb, 8, ncols)
+        .transpose(1, 0, 2).reshape(8 * fb, ncols)))
     lead = frames.shape[:-1]
     r = int(np.prod(lead)) if lead else 1
     fr = frames.astype(jnp.int32).reshape(r, fb)

@@ -8,6 +8,7 @@ block_until_ready does not synchronize, so each timing drains the queue
 with a tiny scalar readback.
 
 Usage: python tools/profile_stages.py [channels] [block_secs] [sonde]
+(SONDETPU_PALLAS=1 profiles the fused Pallas front-end path)
 """
 
 import os
@@ -56,24 +57,31 @@ def main():
     print(f"{'stage':>10} {'cum_ms':>9} {'stage_ms':>9}")
     for stage in STAGES:
         cfg = PipelineConfig(sonde=sonde, channels=channels,
-                             block_len=block_len, profile_stop=stage)
+                             block_len=block_len, profile_stop=stage,
+                             use_pallas=bool(int(os.environ.get(
+                                 "SONDETPU_PALLAS", "0"))))
         pipe = Pipeline(cfg)
         state0 = pipe.init_state()
+        # per-iteration min: the tunneled device link is bursty, and a
+        # single slow drain poisons a mean (negative stage diffs)
+        ts = []
         if stage is None:
             state, out = pipe.step(state0, (iq_i, iq_q))
             np.asarray(out.soft_rms)
-            t0 = time.perf_counter()
             for _ in range(n_iter):
+                t0 = time.perf_counter()
                 state, out = pipe.step(state, (iq_i, iq_q))
-            np.asarray(out.soft_rms)
+                np.asarray(out.soft_rms)
+                ts.append(time.perf_counter() - t0)
         else:
             out = pipe.step(state0, (iq_i, iq_q))
             np.asarray(out)
-            t0 = time.perf_counter()
             for _ in range(n_iter):
+                t0 = time.perf_counter()
                 out = pipe.step(state0, (iq_i, iq_q))
-            np.asarray(out)
-        ms = (time.perf_counter() - t0) / n_iter * 1e3
+                np.asarray(out)
+                ts.append(time.perf_counter() - t0)
+        ms = min(ts) * 1e3
         print(f"{stage or 'FULL':>10} {ms:9.2f} {ms - prev_ms:9.2f}",
               flush=True)
         prev_ms = ms
