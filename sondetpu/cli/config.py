@@ -53,6 +53,9 @@ class FrameworkConfig:
     block_len: int = 48000
     sync_threshold: float = 0.6
     use_pallas: bool = False
+    # cs16/cs8 inputs: upload raw integer planes and dequantize ON DEVICE
+    # (2x/4x less host->device traffic); no effect on float formats
+    device_dequant: bool = False
     sinks: SinkConfig = field(default_factory=SinkConfig)
     channel_map: List[ChannelConfig] = field(default_factory=list)
     _path: Optional[str] = field(default=None, repr=False, compare=False)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -106,10 +107,19 @@ def cmd_decode(args) -> int:
         return _decode_wideband(args, cfg)
 
     on_update, sinks = _make_sinks(args, cfg.sonde)
+    # device-dequant ingest: raw integer planes for cs16/cs8 sources
+    fmt = args.format
+    if fmt is None:
+        ext = os.path.splitext(args.iq)[1].lstrip(".").lower()
+        fmt = {"raw": "cf32"}.get(ext, ext)
+    int_ingest = (cfg.device_dequant and not args.stream
+                  and fmt in ("cs16", "cs8"))
     pcfg = PipelineConfig(sonde=cfg.sonde, channels=cfg.channels, fs=cfg.fs,
                           block_len=cfg.block_len,
                           sync_threshold=cfg.sync_threshold,
-                          use_pallas=cfg.use_pallas)
+                          use_pallas=cfg.use_pallas,
+                          input_dtype={"cs16": "i16", "cs8": "i8"}[fmt]
+                          if int_ingest else "f32")
     sess = DecoderSession(pcfg, on_update=on_update)
     if args.resume:
         ckpt.load_session(sess, args.resume)
@@ -123,6 +133,10 @@ def cmd_decode(args) -> int:
         from sondetpu.io.iq import StreamingIQSource
         src_iter = ((pi, pq) for pi, pq, _ in StreamingIQSource(
             args.iq, block_len=cfg.block_len, fmt=args.format).blocks())
+    elif int_ingest:
+        from sondetpu.io.iq import IntIQFileSource
+        src = IntIQFileSource(args.iq, block_len=cfg.block_len, fmt=fmt)
+        src_iter = ((pi, pq) for pi, pq, _ in src.blocks())
     else:
         src = IQFileSource(args.iq, block_len=cfg.block_len, fmt=args.format)
         src_iter = ((np.ascontiguousarray(b.real, dtype=np.float32),

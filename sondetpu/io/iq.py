@@ -101,6 +101,26 @@ def convert_to_c64(raw: np.ndarray, fmt: str) -> np.ndarray:
     return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
 
 
+def interleaved_to_int_planes(raw: np.ndarray, fmt: str):
+    """Split interleaved cs16/cs8 samples into raw integer (i, q) planes.
+
+    The device-dequant ingest path (PipelineConfig.input_dtype "i16"/"i8"):
+    no host float conversion at all — the planes upload as integers (2x/4x
+    less host->device traffic than float32) and the compiled step dequantizes
+    on device. Returns (i_plane, q_plane, input_dtype)."""
+    if fmt == "cs16":
+        raw = np.ascontiguousarray(raw, dtype=np.int16)
+        dt = "i16"
+    elif fmt == "cs8":
+        raw = np.ascontiguousarray(raw, dtype=np.int8)
+        dt = "i8"
+    else:
+        raise ValueError(f"device-dequant ingest needs cs16/cs8, got {fmt!r}")
+    pair = raw.reshape(-1, 2)
+    return (np.ascontiguousarray(pair[:, 0]),
+            np.ascontiguousarray(pair[:, 1]), dt)
+
+
 def iq_from_file(path: str, fmt: Optional[str] = None) -> np.ndarray:
     """Read a whole IQ file into a complex64 array.
 
@@ -259,6 +279,54 @@ class StreamingIQSource:
                 yield pi, pq, int(n)
                 if n < self.block_len:
                     return
+
+
+class IntIQFileSource:
+    """Stream a cs16/cs8 IQ file as RAW INTEGER (i, q) plane blocks.
+
+    The device-dequant ingest path: pair with
+    ``PipelineConfig(input_dtype=src.input_dtype)`` and the planes cross the
+    host->device wire as int16/int8 (2x/4x narrower than float32); the
+    compiled step dequantizes on device. Same block framing contract as
+    IQFileSource (static shapes, zero-padded final block).
+    """
+
+    def __init__(self, path: str, block_len: int, fmt: Optional[str] = None,
+                 loop: bool = False):
+        self.block_len = int(block_len)
+        self.loop = loop
+        if fmt is None:
+            ext = os.path.splitext(path)[1].lstrip(".").lower()
+            fmt = {"raw": "cf32"}.get(ext, ext)
+        dtype, _ = _FORMATS[fmt]
+        raw = np.fromfile(path, dtype=dtype)
+        self._pi, self._pq, self.input_dtype = \
+            interleaved_to_int_planes(raw, fmt)
+
+    @property
+    def total_samples(self) -> int:
+        return self._pi.size
+
+    def blocks(self) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+        """Yield ``(i_plane[block_len], q_plane[block_len], valid_len)``."""
+        n = self._pi.size
+        pos = 0
+        while True:
+            if pos >= n:
+                if not self.loop:
+                    return
+                pos = 0
+            end = min(pos + self.block_len, n)
+            valid = end - pos
+            if valid == self.block_len:
+                yield self._pi[pos:end], self._pq[pos:end], valid
+            else:
+                bi = np.zeros(self.block_len, dtype=self._pi.dtype)
+                bq = np.zeros(self.block_len, dtype=self._pq.dtype)
+                bi[:valid] = self._pi[pos:end]
+                bq[:valid] = self._pq[pos:end]
+                yield bi, bq, valid
+            pos = end
 
 
 class IQFileSource:

@@ -48,6 +48,11 @@ class PipelineConfig:
     # downconversion below the PFB grid — the analogue of the reference
     # VFO's free tuning with 1 kHz snap (main.cpp:56). None = all on-grid.
     fine_offsets: Optional[tuple] = None
+    # input plane dtype: "f32" (default), or "i16"/"i8" — raw SDR sample
+    # planes (cs16/cs8 sources) upload as integers and dequantize ON DEVICE,
+    # cutting host->device transfer 2x/4x (the reference converts to float
+    # on the host because its DSP chain is host-side; ours isn't)
+    input_dtype: str = "f32"
     # profiling ablation: truncate the compiled step after the named stage
     # ("chanfilt"|"demod"|"timing"|"sample"|"corr"|"peaks"|"gather"|
     # "syndrome") and return only a checksum scalar. Stage-by-stage timing
@@ -55,6 +60,8 @@ class PipelineConfig:
     profile_stop: Optional[str] = None
 
     def __post_init__(self):
+        if self.input_dtype not in ("f32", "i16", "i8"):
+            raise ValueError(f"input_dtype {self.input_dtype!r}")
         spec = get_sonde(self.sonde)["spec"]
         sps = self.fs / spec.baud
         if abs(self.block_len / sps - round(self.block_len / sps)) > 1e-9:
@@ -268,6 +275,9 @@ class Pipeline:
         if isinstance(iq, tuple):
             i, q = iq
         else:
+            if self.config.input_dtype != "f32":
+                raise TypeError("input_dtype %r needs raw integer (i, q) "
+                                "planes, not complex" % self.config.input_dtype)
             from sondetpu.io.iq import c64_to_planes
 
             i, q = c64_to_planes(np.asarray(iq))
@@ -357,6 +367,14 @@ class Pipeline:
 
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
+        if c.input_dtype != "f32":
+            # device-side dequant of raw SDR integer planes; XLA fuses the
+            # convert+scale into the first consumer, so the only cost saved
+            # is the host->device wire (2x/4x narrower)
+            qs = np.float32(1.0 / 32768.0 if c.input_dtype == "i16"
+                            else 1.0 / 128.0)
+            iq_i = iq_i.astype(jnp.float32) * qs
+            iq_q = iq_q.astype(jnp.float32) * qs
         sps = c.sps
         # phase-diff scale at the post-decimation processing rate
         scale = c.fs_proc / (2.0 * jnp.pi * self._dev)

@@ -252,3 +252,31 @@ def test_pipelined_session_decodes_with_one_block_lag():
     piped.flush()
     assert piped.frames_seen == plain.frames_seen
     assert piped.telemetry[0].seq == plain.telemetry[0].seq
+
+
+def test_cli_device_dequant_cs8_decode(tmp_path):
+    """decode with device_dequant=true on a cs8 file: raw int8 planes feed
+    the device (input_dtype="i8") and the stream still decodes."""
+    import os
+    iqf = str(tmp_path / "x.cs8")
+    jsonlf = str(tmp_path / "out.jsonl")
+    cfgf = str(tmp_path / "cfg.json")
+    open(cfgf, "w").write('{"device_dequant": true}')
+    full_env = dict(os.environ)
+    full_env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "."})
+    r = subprocess.run([sys.executable, "-m", "sondetpu.cli.main", "synth",
+                        "--sonde", "rs41", "--frames", "4", "--snr", "20",
+                        "--format", "cs8", "--out", iqf],
+                       capture_output=True, text=True, env=full_env,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([sys.executable, "-m", "sondetpu.cli.main", "decode",
+                        "--iq", iqf, "--sonde", "rs41", "--config", cfgf,
+                        "--jsonl", jsonlf],
+                       capture_output=True, text=True, env=full_env,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(l) for l in open(jsonlf)]
+    assert lines and lines[-1]["serial"] == "S1234567"
+    metrics = json.loads(r.stderr.strip().splitlines()[-1])
+    assert metrics["frames_decoded"] >= 2
