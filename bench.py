@@ -41,8 +41,9 @@ def main():
 
     import os
     use_pallas = bool(int(os.environ.get("SONDETPU_PALLAS", "0")))
+    cdt = "bf16" if int(os.environ.get("SONDETPU_BF16", "0")) else "f32"
     cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=block_len,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, compute_dtype=cdt)
     pipe = Pipeline(cfg)
     state = pipe.init_state()
 

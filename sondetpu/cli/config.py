@@ -56,6 +56,9 @@ class FrameworkConfig:
     # cs16/cs8 inputs: upload raw integer planes and dequantize ON DEVICE
     # (2x/4x less host->device traffic); no effect on float formats
     device_dequant: bool = False
+    # "bf16" stores sample-rate device arrays in bfloat16 (halves HBM
+    # traffic of the memory-bound convs; reductions stay f32). GFSK/FSK only.
+    compute_dtype: str = "f32"
     sinks: SinkConfig = field(default_factory=SinkConfig)
     channel_map: List[ChannelConfig] = field(default_factory=list)
     _path: Optional[str] = field(default=None, repr=False, compare=False)

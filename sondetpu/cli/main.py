@@ -118,6 +118,7 @@ def cmd_decode(args) -> int:
                           block_len=cfg.block_len,
                           sync_threshold=cfg.sync_threshold,
                           use_pallas=cfg.use_pallas,
+                          compute_dtype=cfg.compute_dtype,
                           input_dtype={"cs16": "i16", "cs8": "i8"}[fmt]
                           if int_ingest else "f32")
     sess = DecoderSession(pcfg, on_update=on_update)

@@ -110,10 +110,10 @@ def _apply_windows(xp: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array
     is computed (the polyphase-decimator cost model).
     """
     ntaps = taps.shape[0]
-    h_rev = taps[::-1].astype(jnp.float32)
     if jnp.iscomplexobj(xp):
+        h_rev = taps[::-1].astype(jnp.float32)
         return (_conv1d(xp.real, h_rev, stride) + 1j * _conv1d(xp.imag, h_rev, stride))
-    return _conv1d(xp, h_rev, stride)
+    return _conv1d(xp, taps[::-1], stride)
 
 
 def _group_size(channels: int) -> int:
@@ -167,21 +167,27 @@ def _conv1d_mxu(x: jax.Array, kernel: jax.Array, stride: int = 1,
 
 
 def _conv1d(x: jax.Array, kernel: jax.Array, stride: int = 1) -> jax.Array:
+    """Always accumulates and returns float32; a bfloat16 input stays
+    bfloat16 on the conv's HBM read (the convs are memory-bound — SURVEY
+    compute-dtype lever), f32 otherwise."""
     c, n = x.shape
-    kernel = jnp.asarray(kernel, jnp.float32)
+    in_dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    kernel = jnp.asarray(kernel, in_dt)
     g = _group_size(c)
     if g > 1:
         out = jax.lax.conv_general_dilated(
-            x.reshape(c // g, g, n).astype(jnp.float32),
+            x.reshape(c // g, g, n).astype(in_dt),
             jnp.tile(kernel[None, None, :], (g, 1, 1)),
             window_strides=(stride,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=g)
+            feature_group_count=g,
+            preferred_element_type=jnp.float32)
         return out.reshape(c, -1)
     out = jax.lax.conv_general_dilated(
-        x[:, None, :].astype(jnp.float32), kernel[None, None, :],
+        x[:, None, :].astype(in_dt), kernel[None, None, :],
         window_strides=(stride,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
     return out[:, 0, :]
 
 

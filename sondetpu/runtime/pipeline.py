@@ -53,6 +53,13 @@ class PipelineConfig:
     # cutting host->device transfer 2x/4x (the reference converts to float
     # on the host because its DSP chain is host-side; ours isn't)
     input_dtype: str = "f32"
+    # on-device storage dtype for the sample-rate arrays (IQ planes,
+    # filtered audio, soft chips): "bf16" halves the HBM traffic of the
+    # memory-bound convs; every reduction/accumulation (conv accumulators,
+    # timing estimate, correlation) stays float32. bf16's ~0.4% relative
+    # quantization sits ~40 dB under the signal — far below the noise at
+    # any decodable SNR (FER tests assert parity). GFSK/FSK families only.
+    compute_dtype: str = "f32"
     # profiling ablation: truncate the compiled step after the named stage
     # ("chanfilt"|"demod"|"timing"|"sample"|"corr"|"peaks"|"gather"|
     # "syndrome") and return only a checksum scalar. Stage-by-stage timing
@@ -62,7 +69,12 @@ class PipelineConfig:
     def __post_init__(self):
         if self.input_dtype not in ("f32", "i16", "i8"):
             raise ValueError(f"input_dtype {self.input_dtype!r}")
+        if self.compute_dtype not in ("f32", "bf16"):
+            raise ValueError(f"compute_dtype {self.compute_dtype!r}")
         spec = get_sonde(self.sonde)["spec"]
+        if self.compute_dtype == "bf16" and (
+                spec.modulation == "afsk" or self.use_pallas):
+            raise ValueError("bf16 compute supports the jnp GFSK/FSK path only")
         sps = self.fs / spec.baud
         if abs(self.block_len / sps - round(self.block_len / sps)) > 1e-9:
             raise ValueError("block_len must be an integer number of symbols")
@@ -255,14 +267,18 @@ class Pipeline:
         # the chan_tail fields (it recomputes the filter/demod history from
         # them); the jnp path carries ntaps-1 filtered-input samples
         tail_w = self._fe_halo if self._pallas else c.ntaps - 1
+        # sample-rate carries live in the compute dtype (bf16 halves their
+        # HBM traffic; all reductions stay f32 — see compute_dtype)
+        import ml_dtypes
+        sdt = ml_dtypes.bfloat16 if c.compute_dtype == "bf16" else np.float32
         return PipelineState(
-            chan_tail_i=np.zeros((c.channels, tail_w), np.float32),
-            chan_tail_q=np.zeros((c.channels, tail_w), np.float32),
-            fm_prev=np.zeros((c.channels, 2), np.float32),
-            fir=FIRState(tail=np.zeros((c.channels, c.ntaps - 1), np.float32)),
+            chan_tail_i=np.zeros((c.channels, tail_w), sdt),
+            chan_tail_q=np.zeros((c.channels, tail_w), sdt),
+            fm_prev=np.zeros((c.channels, 2), sdt),
+            fir=FIRState(tail=np.zeros((c.channels, c.ntaps - 1), sdt)),
             timing=TimingState(pos=np.zeros((c.channels,), np.float32),
                                locked=np.zeros((c.channels,), np.float32)),
-            chipbuf=np.zeros((c.channels, c.buf_len), np.float32),
+            chipbuf=np.zeros((c.channels, c.buf_len), sdt),
             buf_fill=np.zeros((c.channels,), np.int32),
             aux=aux,
         )
@@ -351,7 +367,9 @@ class Pipeline:
             s0 = jnp.floor(start).astype(jnp.int32)        # [C] in [0, sps)
             frac = (start - s0.astype(jnp.float32))[:, None]
             fp = jnp.pad(filt, ((0, 0), (0, isps + 1)), mode="edge")
-            soft = jnp.zeros((filt.shape[0], cpb), filt.dtype)
+            # accumulate f32 even when filt is stored bf16 (weights are f32,
+            # so the products promote; only the fp READS are narrow)
+            soft = jnp.zeros((filt.shape[0], cpb), jnp.float32)
             for j in range(isps + 1):
                 w = jnp.where(s0 == j, 1.0 - frac[:, 0],
                               jnp.where(s0 + 1 == j, frac[:, 0], 0.0))[:, None]
@@ -367,6 +385,7 @@ class Pipeline:
 
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
+        cdt = jnp.bfloat16 if c.compute_dtype == "bf16" else jnp.float32
         if c.input_dtype != "f32":
             # device-side dequant of raw SDR integer planes; XLA fuses the
             # convert+scale into the first consumer, so the only cost saved
@@ -392,6 +411,10 @@ class Pipeline:
             ddc_phase = (jnp.mod(phase0[:, 0] + np.float32(n) * f_norm[:, 0], 1.0),)
         else:
             ddc_phase = ()
+        # sample-rate arrays are STORED in the compute dtype from here on
+        # (the dequant/DDC math above runs f32); no-op when cdt is f32
+        iq_i = iq_i.astype(cdt)
+        iq_q = iq_q.astype(cdt)
 
         if self._pallas:
             # fused front end: channel filter + decimate + FM discriminator
@@ -420,8 +443,9 @@ class Pipeline:
             xpq = jnp.concatenate([state.chan_tail_q, iq_q], axis=-1)
             new_ctail_i = xpi[:, -(c.ntaps - 1):]
             new_ctail_q = xpq[:, -(c.ntaps - 1):]
-            iq_i = _apply_windows(xpi, self._chan_taps, stride=c.decim)
-            iq_q = _apply_windows(xpq, self._chan_taps, stride=c.decim)
+            # conv reads cdt, accumulates f32; store cdt for the demod reads
+            iq_i = _apply_windows(xpi, self._chan_taps, stride=c.decim).astype(cdt)
+            iq_q = _apply_windows(xpq, self._chan_taps, stride=c.decim).astype(cdt)
             n = iq_i.shape[-1]             # processing length from here on
             if c.profile_stop == "chanfilt":
                 return jnp.sum(iq_i) + jnp.sum(iq_q)
@@ -429,10 +453,16 @@ class Pipeline:
             fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
             # L2: FM quadrature discriminator on I/Q planes (ref main.cpp:57):
             # d = x[n]*conj(x[n-1]); audio = atan2(im(d), re(d)) * fs/(2*pi*dev)
-            pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]], axis=-1)
-            pq_ = jnp.concatenate([state.fm_prev[:, 1:2], iq_q[:, :-1]], axis=-1)
-            dre = iq_i * pi_ + iq_q * pq_
-            dim = iq_q * pi_ - iq_i * pq_
+            # (math in f32 — the casts fuse into the reads, so HBM traffic
+            # stays at the storage dtype)
+            pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]],
+                                  axis=-1).astype(jnp.float32)
+            pq_ = jnp.concatenate([state.fm_prev[:, 1:2], iq_q[:, :-1]],
+                                  axis=-1).astype(jnp.float32)
+            ii32 = iq_i.astype(jnp.float32)
+            qq32 = iq_q.astype(jnp.float32)
+            dre = ii32 * pi_ + qq32 * pq_
+            dim = qq32 * pi_ - ii32 * pq_
             audio = jnp.arctan2(dim, dre) * scale
             if c.dc_block:
                 audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
@@ -442,7 +472,8 @@ class Pipeline:
                 filt, fir_state, aux_state = self._afsk_frontend(state, audio)
             else:
                 # matched/channel filter with overlap-save carry (SURVEY.md S0)
-                xp = jnp.concatenate([state.fir.tail, audio], axis=-1)
+                xp = jnp.concatenate([state.fir.tail, audio.astype(cdt)],
+                                     axis=-1)
                 ntaps = self._taps.shape[0]
                 filt = _apply_windows(xp, self._taps)
                 fir_state = FIRState(tail=xp[:, -(ntaps - 1):])
@@ -450,6 +481,7 @@ class Pipeline:
 
         if c.profile_stop == "demod":
             return jnp.sum(filt)
+        filt = filt.astype(cdt)   # storage dtype for the strided sample reads
         # symbol timing: feed-forward estimate + slew-limited NCO carry
         tau = oerder_meyr_tau(filt, sps)
         err = jnp.mod(tau - state.timing.pos + sps / 2.0, sps) - sps / 2.0
@@ -467,7 +499,8 @@ class Pipeline:
             return jnp.sum(soft)
 
         # chip ring buffer: constant cpb new chips -> static slice, no gather
-        ext = jnp.concatenate([state.chipbuf, soft], axis=-1)   # [C, buf+cpb]
+        ext = jnp.concatenate([state.chipbuf, soft.astype(cdt)],
+                              axis=-1)   # [C, buf+cpb]
         chipbuf = ext[:, cpb:]
         nvalid = cpb
         buf_fill = jnp.minimum(state.buf_fill + cpb, c.buf_len)
@@ -520,7 +553,9 @@ class Pipeline:
             # 2048 ch x 4 s): byte_at is regrouped [C, 8, buf//8] so the
             # stride-8 byte sequence of a frame becomes a contiguous run.
             from sondetpu.dsp.fir import _conv1d
-            hardf = (chipbuf > 0).astype(jnp.float32)
+            # 0/1 chips and the 8 power-of-two weights are exact in either
+            # dtype; the conv accumulates f32 regardless
+            hardf = (chipbuf > 0).astype(cdt)
             byte_at = _conv1d(hardf, jnp.asarray(w))       # [C, buf_len - 7]
             cc, kk, fb = byte_at.shape[0], safe.shape[1], spec.frame_bytes
             pad = (-byte_at.shape[-1]) % 8

@@ -198,3 +198,42 @@ def test_int16_device_dequant_matches_f32():
     # complex input is rejected on an integer-ingest pipeline
     with pytest.raises(TypeError):
         sess_i.pipeline.step(sess_i.state, iq[:, :48000])
+
+
+def test_bf16_compute_decodes_at_10db():
+    """compute_dtype="bf16" (sample-rate arrays stored bfloat16, reductions
+    f32) must decode at 10 dB SNR like the f32 path — bf16 quantization
+    (~0.4% relative) sits far below channel noise at any decodable SNR."""
+    iq, _ = _make_iq(n_frames=8, snr_db=10.0)
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000,
+                         compute_dtype="bf16")
+    sess = DecoderSession(cfg)
+    count = 0
+    n = iq.shape[1]
+    for i in range(0, n - 48000 + 1, 48000):
+        count += len(sess.process_block(iq[:, i:i + 48000]))
+    assert count >= 6, f"only {count} frames decoded at 10 dB in bf16"
+    assert sess.telemetry[0].serial == "S1234567"
+
+
+def test_bf16_block_size_invariance():
+    """Chunked bf16 decode equals a different chunking (carry dtypes are
+    consistent across steps)."""
+    iq, _ = _make_iq(n_frames=6)
+    seqs = {}
+    for bl in (24000, 48000):
+        cfg = PipelineConfig(sonde="rs41", channels=1, block_len=bl,
+                             compute_dtype="bf16")
+        sess = DecoderSession(cfg)
+        got = []
+        for i in range(0, iq.shape[1] - bl + 1, bl):
+            got += [t.seq for _, t in sess.process_block(iq[:, i:i + bl])]
+        seqs[bl] = got
+    assert seqs[24000] == seqs[48000] and len(seqs[48000]) >= 4
+
+
+def test_bf16_rejects_afsk_and_pallas():
+    with pytest.raises(ValueError):
+        PipelineConfig(sonde="imet4", compute_dtype="bf16")
+    with pytest.raises(ValueError):
+        PipelineConfig(sonde="rs41", compute_dtype="bf16", use_pallas=True)
