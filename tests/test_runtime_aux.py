@@ -280,3 +280,29 @@ def test_cli_device_dequant_cs8_decode(tmp_path):
     assert lines and lines[-1]["serial"] == "S1234567"
     metrics = json.loads(r.stderr.strip().splitlines()[-1])
     assert metrics["frames_decoded"] >= 2
+
+
+def test_checkpoint_resume_bf16_state(tmp_path):
+    """Checkpoint/resume round-trips bfloat16 device state (pickle keeps
+    ml_dtypes dtypes) and the resumed bf16 session keeps decoding."""
+    mod = RS41Modulator()
+    iq1 = mod.modulate([RS41Truth(frame_no=i) for i in range(6)])
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000,
+                         compute_dtype="bf16")
+    sess = DecoderSession(cfg)
+    n1 = (iq1.size // 48000) * 48000
+    for i in range(0, n1 - 48000 + 1, 48000):
+        sess.process_block(iq1[None, i:i + 48000])
+    assert sess.frames_seen >= 3
+    path = str(tmp_path / "state.ckpt")
+    ckpt.save_session(sess, path)
+
+    sess2 = DecoderSession(cfg)
+    ckpt.load_session(sess2, path)
+    import ml_dtypes
+    assert np.asarray(sess2.state.chipbuf).dtype == ml_dtypes.bfloat16
+    iq2 = mod.modulate([RS41Truth(frame_no=50 + i) for i in range(3)])
+    before = sess2.frames_seen
+    for i in range(0, iq2.size - 48000 + 1, 48000):
+        sess2.process_block(iq2[None, i:i + 48000])
+    assert sess2.frames_seen > before
