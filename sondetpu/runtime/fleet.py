@@ -18,6 +18,7 @@ import numpy as np
 
 from sondetpu.dsp.channelizer import PFBChannelizer
 from sondetpu.runtime.pipeline import PipelineConfig
+from sondetpu.sondes.base import get_sonde
 from sondetpu.runtime.session import DecoderSession
 from sondetpu.telemetry import SondeTelemetry
 
@@ -39,7 +40,7 @@ class FleetSession:
     def __init__(self, channels: Sequence[FleetChannel], n_bins: int,
                  fs_chan: float = 48000.0, block_len: int = 48000,
                  sync_threshold: float = 0.55, use_pallas: bool = False,
-                 on_update=None, mesh=None):
+                 on_update=None, mesh=None, compute_dtype: str = "f32"):
         self.channels = list(channels)
         self.pfb = PFBChannelizer(n_bins)
         self.pfb_state = self.pfb.init_state()
@@ -54,10 +55,15 @@ class FleetSession:
         self.groups: Dict[str, Tuple[List[int], DecoderSession]] = {}
         for sonde, idxs in groups.items():
             offs = tuple(self.channels[i].offset_hz for i in idxs)
+            spec = get_sonde(sonde)["spec"]
+            # bf16 applies per group: AFSK groups fall back to f32
+            group_cdt = ("f32" if spec.modulation == "afsk" or use_pallas
+                         else compute_dtype)
             cfg = PipelineConfig(sonde=sonde, channels=len(idxs),
                                  fs=fs_chan, block_len=block_len,
                                  sync_threshold=sync_threshold,
                                  use_pallas=use_pallas,
+                                 compute_dtype=group_cdt,
                                  fine_offsets=offs if any(offs) else None)
             # shard a group over the mesh when its channel count divides the
             # mesh size; smaller groups stay single-device (heterogeneous

@@ -119,3 +119,17 @@ def test_mixed_fleet_sharded_over_mesh():
         assert k in telem and telem[k].serial == "S1234567", k
         assert telem[k].lat == pytest.approx(45.0, abs=1e-4)
     assert 16 in telem and telem[16].serial == "ME10A00001"
+
+
+def test_mixed_fleet_bf16_gates_afsk_groups():
+    """compute_dtype="bf16" on a mixed fleet: GFSK groups run bf16, AFSK
+    groups fall back to f32, and both still decode."""
+    from sondetpu.runtime.fleet import FleetChannel, FleetSession
+    fleet = FleetSession(
+        [FleetChannel(pfb_bin=1, sonde="rs41"),
+         FleetChannel(pfb_bin=3, sonde="imet4")],
+        n_bins=4, compute_dtype="bf16")
+    _, sess_rs41 = fleet.groups["rs41"]
+    _, sess_imet4 = fleet.groups["imet4"]
+    assert sess_rs41.config.compute_dtype == "bf16"
+    assert sess_imet4.config.compute_dtype == "f32"
