@@ -112,8 +112,7 @@ def cmd_decode(args) -> int:
     if fmt is None:
         ext = os.path.splitext(args.iq)[1].lstrip(".").lower()
         fmt = {"raw": "cf32"}.get(ext, ext)
-    int_ingest = (cfg.device_dequant and not args.stream
-                  and fmt in ("cs16", "cs8"))
+    int_ingest = cfg.device_dequant and fmt in ("cs16", "cs8")
     pcfg = PipelineConfig(sonde=cfg.sonde, channels=cfg.channels, fs=cfg.fs,
                           block_len=cfg.block_len,
                           sync_threshold=cfg.sync_threshold,
@@ -130,10 +129,12 @@ def cmd_decode(args) -> int:
     if args.stream:
         # O(block)-memory path: the native reader thread prefetches and
         # converts the next block while this one is on the device (works on
-        # FIFOs/pipes too, so a live SDR can feed the decoder)
+        # FIFOs/pipes too, so a live SDR can feed the decoder). With
+        # device_dequant + cs16/cs8 the planes stay raw integers end to end.
         from sondetpu.io.iq import StreamingIQSource
         src_iter = ((pi, pq) for pi, pq, _ in StreamingIQSource(
-            args.iq, block_len=cfg.block_len, fmt=args.format).blocks())
+            args.iq, block_len=cfg.block_len, fmt=args.format,
+            raw_planes=int_ingest).blocks())
     elif int_ingest:
         from sondetpu.io.iq import IntIQFileSource
         src = IntIQFileSource(args.iq, block_len=cfg.block_len, fmt=fmt)

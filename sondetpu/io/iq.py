@@ -204,6 +204,13 @@ def _load_iqstream():
         lib.iqs_read.restype = ctypes.c_int64
         lib.iqs_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.iqs_close.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "iqs_open_raw"):
+            lib.iqs_open_raw.restype = ctypes.c_void_p
+            lib.iqs_open_raw.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                         ctypes.c_int64, ctypes.c_int]
+            lib.iqs_read_raw.restype = ctypes.c_int64
+            lib.iqs_read_raw.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p]
         _iqstream = lib
     except OSError:
         _iqstream = False
@@ -225,24 +232,70 @@ class StreamingIQSource:
     """
 
     def __init__(self, path: str, block_len: int, fmt: Optional[str] = None,
-                 depth: int = 4):
+                 depth: int = 4, raw_planes: bool = False):
         if fmt is None:
             ext = os.path.splitext(path)[1].lstrip(".").lower()
             fmt = {"raw": "cf32"}.get(ext, ext)
         if fmt not in _FMT_CODES:
             raise ValueError(f"unsupported streaming IQ format {fmt!r} "
                              f"(have {sorted(_FMT_CODES)})")
+        if raw_planes and fmt not in ("cs16", "cs8"):
+            raise ValueError("raw_planes streaming needs cs16/cs8")
         self.path = path
         self.fmt = fmt
         self.block_len = int(block_len)
         self.depth = int(depth)
+        # raw_planes: yield int16/int8 planes for the device-dequant ingest
+        # (PipelineConfig.input_dtype) — no host float conversion
+        self.raw_planes = bool(raw_planes)
+        self.input_dtype = {"cs16": "i16", "cs8": "i8"}.get(fmt) \
+            if raw_planes else "f32"
 
     def blocks(self) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
         lib = _load_iqstream()
-        if lib:
+        if self.raw_planes:
+            if lib and hasattr(lib, "iqs_open_raw"):
+                yield from self._blocks_native_raw(lib)
+            else:
+                yield from self._blocks_numpy_raw()
+        elif lib:
             yield from self._blocks_native(lib)
         else:
             yield from self._blocks_numpy()
+
+    def _blocks_native_raw(self, lib):
+        h = lib.iqs_open_raw(self.path.encode(), _FMT_CODES[self.fmt],
+                             self.block_len, self.depth)
+        if not h:
+            raise OSError(f"cannot open IQ stream {self.path!r}")
+        dt = np.int16 if self.fmt == "cs16" else np.int8
+        try:
+            while True:
+                pi = np.empty(self.block_len, dtype=dt)
+                pq = np.empty(self.block_len, dtype=dt)
+                n = lib.iqs_read_raw(h, pi.ctypes.data, pq.ctypes.data)
+                if n <= 0:
+                    return
+                yield pi, pq, int(n)
+        finally:
+            lib.iqs_close(h)
+
+    def _blocks_numpy_raw(self):
+        dt = np.int16 if self.fmt == "cs16" else np.int8
+        with open(self.path, "rb") as f:
+            while True:
+                raw = np.fromfile(f, dtype=dt, count=2 * self.block_len)
+                n = raw.size // 2
+                if n == 0:
+                    return
+                pair = raw[: 2 * n].reshape(-1, 2)
+                pi = np.zeros(self.block_len, dtype=dt)
+                pq = np.zeros(self.block_len, dtype=dt)
+                pi[:n] = pair[:, 0]
+                pq[:n] = pair[:, 1]
+                yield pi, pq, int(n)
+                if n < self.block_len:
+                    return
 
     def _blocks_native(self, lib):
         h = lib.iqs_open(self.path.encode(), _FMT_CODES[self.fmt],

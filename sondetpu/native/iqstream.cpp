@@ -33,7 +33,8 @@ size_t bytes_per_complex(int fmt) {
 }
 
 struct Slot {
-  std::vector<float> plane_i, plane_q;
+  std::vector<float> plane_i, plane_q;   // float mode
+  std::vector<uint8_t> int_i, int_q;     // raw mode (int8/int16 planes)
   int64_t n_valid = 0;
   bool ready = false;
 };
@@ -43,6 +44,8 @@ struct Stream {
   int fmt = kCF32;
   int64_t block = 0;
   float scale = 1.0f;
+  bool raw_mode = false;   // deinterleave to integer planes, no float
+  size_t elem = 0;         // bytes per raw plane element (raw mode)
   std::vector<Slot> slots;
   std::vector<uint8_t> raw;
   size_t head = 0, tail = 0;  // head: next slot to fill, tail: next to read
@@ -52,6 +55,32 @@ struct Stream {
   std::thread reader;
 
   void convert(const uint8_t *src, Slot &s, int64_t n) {
+    if (raw_mode) {
+      // device-dequant ingest: split interleaved ints into raw planes
+      // (the device casts+scales); no float math on the host at all
+      if (elem == 2) {
+        const int16_t *p = reinterpret_cast<const int16_t *>(src);
+        int16_t *di = reinterpret_cast<int16_t *>(s.int_i.data());
+        int16_t *dq = reinterpret_cast<int16_t *>(s.int_q.data());
+        for (int64_t k = 0; k < n; ++k) {
+          di[k] = p[2 * k];
+          dq[k] = p[2 * k + 1];
+        }
+      } else {
+        int8_t *di = reinterpret_cast<int8_t *>(s.int_i.data());
+        int8_t *dq = reinterpret_cast<int8_t *>(s.int_q.data());
+        const int8_t *p = reinterpret_cast<const int8_t *>(src);
+        for (int64_t k = 0; k < n; ++k) {
+          di[k] = p[2 * k];
+          dq[k] = p[2 * k + 1];
+        }
+      }
+      if (n < block) {
+        std::memset(s.int_i.data() + n * elem, 0, (block - n) * elem);
+        std::memset(s.int_q.data() + n * elem, 0, (block - n) * elem);
+      }
+      return;
+    }
     float *di = s.plane_i.data(), *dq = s.plane_q.data();
     switch (fmt) {
       case kCF32: {
@@ -141,6 +170,48 @@ void *iqs_open(const char *path, int fmt, int64_t block_complex, float scale,
   s->raw.resize(static_cast<size_t>(block_complex) * bytes_per_complex(fmt));
   s->reader = std::thread([s] { s->run(); });
   return s;
+}
+
+// Raw-plane variant for cs16/cs8 (device-dequant ingest): blocks come out
+// as int16/int8 planes, never touching float on the host.
+void *iqs_open_raw(const char *path, int fmt, int64_t block_complex,
+                   int depth) {
+  if ((fmt != kCS16 && fmt != kCS8) || block_complex <= 0 || depth < 2)
+    return nullptr;
+  FILE *f = fopen(path, "rb");
+  if (!f) return nullptr;
+  Stream *s = new Stream;
+  s->f = f;
+  s->fmt = fmt;
+  s->block = block_complex;
+  s->raw_mode = true;
+  s->elem = (fmt == kCS16) ? 2 : 1;
+  s->slots.resize(depth);
+  for (auto &sl : s->slots) {
+    sl.int_i.resize(static_cast<size_t>(block_complex) * s->elem);
+    sl.int_q.resize(static_cast<size_t>(block_complex) * s->elem);
+  }
+  s->raw.resize(static_cast<size_t>(block_complex) * bytes_per_complex(fmt));
+  s->reader = std::thread([s] { s->run(); });
+  return s;
+}
+
+// Raw-plane read: dst buffers hold block_complex int16/int8 elements.
+int64_t iqs_read_raw(void *h, void *dst_i, void *dst_q) {
+  Stream *s = static_cast<Stream *>(h);
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->cv_data.wait(lk, [&] { return s->slots[s->tail].ready || s->eof; });
+  Slot &sl = s->slots[s->tail];
+  if (!sl.ready) return 0;
+  const int64_t n = sl.n_valid;
+  if (n > 0) {
+    std::memcpy(dst_i, sl.int_i.data(), s->block * s->elem);
+    std::memcpy(dst_q, sl.int_q.data(), s->block * s->elem);
+  }
+  sl.ready = false;
+  s->tail = (s->tail + 1) % s->slots.size();
+  s->cv_space.notify_one();
+  return n;
 }
 
 // Copies the next block's I/Q planes (block_complex floats each, zero-padded

@@ -188,3 +188,42 @@ def test_streaming_iq_numpy_fallback_matches_native(tmp_path, monkeypatch):
         assert nv == fv
         np.testing.assert_array_equal(ni, fi)
         np.testing.assert_array_equal(nq, fq)
+
+
+def test_streaming_raw_int_planes_match_file(tmp_path):
+    """raw_planes streaming (native + numpy fallback) yields the same int
+    planes as the file splitter — the device-dequant streaming path."""
+    import os
+    from sondetpu.io.iq import (IntIQFileSource, StreamingIQSource, write_iq)
+    rng = np.random.default_rng(5)
+    iq = (rng.normal(size=4096) + 1j * rng.normal(size=4096)
+          ).astype(np.complex64) * 0.3
+    path = str(tmp_path / "x.cs16")
+    write_iq(path, iq, "cs16")
+
+    ref = IntIQFileSource(path, block_len=1000)
+    want = list(ref.blocks())
+    assert ref.input_dtype == "i16"
+
+    for force_numpy in (False, True):
+        env = os.environ.get("SONDETPU_NO_NATIVE")
+        if force_numpy:
+            os.environ["SONDETPU_NO_NATIVE"] = "1"
+        try:
+            import sondetpu.io.iq as iqmod
+            iqmod._iqstream = None   # reset lib cache so the env applies
+            src = StreamingIQSource(path, block_len=1000, raw_planes=True)
+            got = list(src.blocks())
+        finally:
+            iqmod._iqstream = None
+            if force_numpy:
+                if env is None:
+                    os.environ.pop("SONDETPU_NO_NATIVE", None)
+                else:
+                    os.environ["SONDETPU_NO_NATIVE"] = env
+        assert src.input_dtype == "i16"
+        assert len(got) == len(want)
+        for (gi, gq, gn), (wi, wq, wn) in zip(got, want):
+            assert gn == wn and gi.dtype == np.int16
+            np.testing.assert_array_equal(gi, wi)
+            np.testing.assert_array_equal(gq, wq)

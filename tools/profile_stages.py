@@ -59,7 +59,9 @@ def main():
         cfg = PipelineConfig(sonde=sonde, channels=channels,
                              block_len=block_len, profile_stop=stage,
                              use_pallas=bool(int(os.environ.get(
-                                 "SONDETPU_PALLAS", "0"))))
+                                 "SONDETPU_PALLAS", "0"))),
+                             compute_dtype="bf16" if int(os.environ.get(
+                                 "SONDETPU_BF16", "0")) else "f32")
         pipe = Pipeline(cfg)
         state0 = pipe.init_state()
         # per-iteration min: the tunneled device link is bursty, and a
