@@ -239,6 +239,47 @@ def cmd_fer(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    """Detect + classify sondes in a wideband capture (the reference's
+    waterfall-and-combobox workflow, main.cpp:55-56,136-151, automated).
+    Writes a decode-ready config with the discovered channel_map."""
+    from sondetpu.dsp.scan import (classify_carriers, detect_carriers,
+                                   scan_to_config)
+    from sondetpu.io.iq import iq_from_file
+    from sondetpu.cli.config import FrameworkConfig
+
+    iq = iq_from_file(args.iq, args.format)
+    carriers = detect_carriers(iq, args.fs_wide, nfft=args.nfft,
+                               min_snr_db=args.min_snr,
+                               max_carriers=args.max_carriers)
+    if not carriers:
+        print("no carriers above threshold", file=sys.stderr)
+        return 1
+    fams = args.families.split(",") if args.families else None
+    if args.classify:
+        probe = iq[: int(args.probe_secs * args.fs_wide)]
+        carriers = classify_carriers(probe, args.fs_wide, carriers,
+                                     families=fams,
+                                     sync_threshold=args.sync_threshold)
+    for c in carriers:
+        typ = c.sonde or "?"
+        extra = f" frames={c.frames}" if c.sonde else ""
+        print(f"{c.center_hz / 1e3:+10.1f} kHz  bw={c.bw_hz / 1e3:5.1f} kHz  "
+              f"snr={c.snr_db:5.1f} dB  type={typ}{extra}", file=sys.stderr)
+    print(json.dumps([{"center_hz": round(c.center_hz, 1),
+                       "bw_hz": round(c.bw_hz, 1),
+                       "snr_db": round(c.snr_db, 1),
+                       "sonde": c.sonde, "frames": c.frames}
+                      for c in carriers]))
+    if args.out:
+        base = FrameworkConfig.load(args.config) if args.config else None
+        cfg = scan_to_config(carriers, base)
+        cfg.save(args.out)
+        print(f"channel_map ({len(cfg.channel_map)} entries) -> {args.out}",
+              file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     import os
@@ -297,6 +338,29 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--frames", type=int, default=20)
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(fn=cmd_fer)
+
+    pc = sub.add_parser("scan", help="detect + classify sondes in wideband IQ")
+    pc.add_argument("--iq", required=True)
+    pc.add_argument("--format", default=None)
+    pc.add_argument("--fs-wide", type=float, required=True,
+                    help="wideband sample rate, Hz (multiple of 48 kHz "
+                         "to enable classification)")
+    pc.add_argument("--nfft", type=int, default=4096)
+    pc.add_argument("--min-snr", type=float, default=8.0,
+                    help="carrier detection threshold over the noise floor")
+    pc.add_argument("--max-carriers", type=int, default=64)
+    pc.add_argument("--probe-secs", type=float, default=3.0,
+                    help="seconds of capture fed to the decode probes")
+    pc.add_argument("--families", default=None,
+                    help="comma list of families to probe (default: all)")
+    pc.add_argument("--sync-threshold", type=float, default=0.55)
+    pc.add_argument("--no-classify", dest="classify", action="store_false",
+                    help="only detect carriers; skip the decode probes")
+    pc.add_argument("--out", default=None,
+                    help="write a decode-ready config JSON (channel_map)")
+    pc.add_argument("--config", default=None,
+                    help="base config to extend when writing --out")
+    pc.set_defaults(fn=cmd_scan)
 
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.add_argument("--channels", type=int, default=1024)
