@@ -59,6 +59,9 @@ class FrameworkConfig:
     # "bf16" stores sample-rate device arrays in bfloat16 (halves HBM
     # traffic of the memory-bound convs; reductions stay f32). GFSK/FSK only.
     compute_dtype: str = "f32"
+    # automatic frequency control: track per-channel transmitter drift with
+    # a device-side DDC whose frequency is state (GFSK/FSK families)
+    afc: bool = False
     sinks: SinkConfig = field(default_factory=SinkConfig)
     channel_map: List[ChannelConfig] = field(default_factory=list)
     _path: Optional[str] = field(default=None, repr=False, compare=False)

@@ -118,6 +118,7 @@ def cmd_decode(args) -> int:
                           sync_threshold=cfg.sync_threshold,
                           use_pallas=cfg.use_pallas,
                           compute_dtype=cfg.compute_dtype,
+                          afc=args.afc or cfg.afc,
                           input_dtype={"cs16": "i16", "cs8": "i8"}[fmt]
                           if int_ingest else "f32")
     sess = DecoderSession(pcfg, on_update=on_update)
@@ -201,7 +202,7 @@ def _decode_wideband(args, cfg) -> int:
     fleet = FleetSession(
         chans, n_bins=n_bins, fs_chan=fs_chan, block_len=cfg.block_len,
         sync_threshold=cfg.sync_threshold, use_pallas=cfg.use_pallas,
-        on_update=fleet_update)
+        afc=args.afc or cfg.afc, on_update=fleet_update)
     w = n_bins * cfg.block_len
     if args.stream:
         from sondetpu.io.iq import StreamingIQSource
@@ -321,6 +322,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "N blocks (the reference GUI's table, headless)")
     pd.add_argument("--watchdog", type=int, default=0,
                     help="reset channels idle for N blocks")
+    pd.add_argument("--afc", action="store_true",
+                    help="track per-channel carrier drift (automatic "
+                         "frequency control; GFSK/FSK families)")
     pd.add_argument("--checkpoint", default=None, help="save state on exit")
     pd.add_argument("--resume", default=None, help="restore state first")
     pd.add_argument("--stream", action="store_true",

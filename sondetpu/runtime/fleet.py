@@ -40,7 +40,8 @@ class FleetSession:
     def __init__(self, channels: Sequence[FleetChannel], n_bins: int,
                  fs_chan: float = 48000.0, block_len: int = 48000,
                  sync_threshold: float = 0.55, use_pallas: bool = False,
-                 on_update=None, mesh=None, compute_dtype: str = "f32"):
+                 on_update=None, mesh=None, compute_dtype: str = "f32",
+                 afc: bool = False):
         self.channels = list(channels)
         self.pfb = PFBChannelizer(n_bins)
         self.pfb_state = self.pfb.init_state()
@@ -59,11 +60,14 @@ class FleetSession:
             # bf16 applies per group: AFSK groups fall back to f32
             group_cdt = ("f32" if spec.modulation == "afsk" or use_pallas
                          else compute_dtype)
+            # afc applies per group: AFSK groups keep their static offsets
+            group_afc = afc and spec.modulation != "afsk" and not use_pallas
             cfg = PipelineConfig(sonde=sonde, channels=len(idxs),
                                  fs=fs_chan, block_len=block_len,
                                  sync_threshold=sync_threshold,
                                  use_pallas=use_pallas,
                                  compute_dtype=group_cdt,
+                                 afc=group_afc,
                                  fine_offsets=offs if any(offs) else None)
             # shard a group over the mesh when its channel count divides the
             # mesh size; smaller groups stay single-device (heterogeneous

@@ -48,6 +48,14 @@ class PipelineConfig:
     # downconversion below the PFB grid — the analogue of the reference
     # VFO's free tuning with 1 kHz snap (main.cpp:56). None = all on-grid.
     fine_offsets: Optional[tuple] = None
+    # automatic frequency control: the DDC frequency becomes per-channel
+    # STATE, nudged each block by the FM discriminator's DC (mean audio of
+    # 1.0 == spec.dev Hz of residual carrier offset). Tracks transmitter
+    # drift the reference handles by the human re-dragging the VFO on the
+    # waterfall (main.cpp:55-56). fine_offsets (or zeros) seed the loop.
+    afc: bool = False
+    afc_beta: float = 0.5          # per-block loop gain (0 < beta <= 1)
+    afc_max_hz: Optional[float] = None   # clamp; default spec.bandwidth/2
     # input plane dtype: "f32" (default), or "i16"/"i8" — raw SDR sample
     # planes (cs16/cs8 sources) upload as integers and dequantize ON DEVICE,
     # cutting host->device transfer 2x/4x (the reference converts to float
@@ -75,6 +83,14 @@ class PipelineConfig:
         if self.compute_dtype == "bf16" and (
                 spec.modulation == "afsk" or self.use_pallas):
             raise ValueError("bf16 compute supports the jnp GFSK/FSK path only")
+        if self.afc and self.use_pallas:
+            raise ValueError("afc needs the jnp front end (the Pallas "
+                             "kernel does not export the discriminator DC)")
+        if self.afc and spec.modulation == "afsk":
+            # AFSK audio DC mixes data bias (mark/space density) with
+            # carrier offset — an AFC loop would chase the data
+            raise ValueError("afc supports FM-discriminated (GFSK/FSK) "
+                             "families only")
         sps = self.fs / spec.baud
         if abs(self.block_len / sps - round(self.block_len / sps)) > 1e-9:
             raise ValueError("block_len must be an integer number of symbols")
@@ -261,8 +277,13 @@ class Pipeline:
             w = self._afsk_win - 1
             aux = tuple(np.zeros((c.channels, w), np.float32) for _ in range(4)) \
                 + (np.zeros((1,), np.int32),)
-        if c.fine_offsets is not None:
+        if c.fine_offsets is not None or c.afc:
             aux = aux + (np.zeros((c.channels,), np.float32),)   # DDC phase
+        if c.afc:
+            f0 = (np.asarray(c.fine_offsets, np.float32)
+                  if c.fine_offsets is not None
+                  else np.zeros((c.channels,), np.float32))
+            aux = aux + (f0.copy(),)   # DDC freq (Hz), AFC-tracked
         # the Pallas front end carries HALO raw input samples per plane in
         # the chan_tail fields (it recomputes the filter/demod history from
         # them); the jnp path carries ntaps-1 filtered-input samples
@@ -399,17 +420,26 @@ class Pipeline:
         scale = c.fs_proc / (2.0 * jnp.pi * self._dev)
         n = iq_i.shape[-1]
 
-        if c.fine_offsets is not None:
+        afc_freq = ()
+        if c.fine_offsets is not None or c.afc:
             # per-channel DDC: rotate by -2*pi*f_off*t (phase carried in aux
-            # slot -1 as a [C] float in cycles, wrapped each block)
-            f_norm = np.asarray(c.fine_offsets, np.float32)[:, None] / np.float32(self._fs)
-            phase0 = state.aux[-1][:, None]           # [C, 1] cycles
+            # as a [C] float in cycles, wrapped each block). With afc the
+            # frequency itself is state (aux slot -1), seeded by
+            # fine_offsets and updated below from the discriminator DC.
+            if c.afc:
+                freq_hz = state.aux[-1]                # [C] dynamic, Hz
+                phase0 = state.aux[-2][:, None]        # [C, 1] cycles
+            else:
+                freq_hz = jnp.asarray(np.asarray(c.fine_offsets, np.float32))
+                phase0 = state.aux[-1][:, None]
+            f_norm = freq_hz[:, None] / np.float32(self._fs)
             cyc = phase0 + f_norm * jnp.arange(n, dtype=jnp.float32)[None, :]
             ang = -2.0 * jnp.pi * cyc
             cosv, sinv = jnp.cos(ang), jnp.sin(ang)
             iq_i, iq_q = (iq_i * cosv - iq_q * sinv, iq_i * sinv + iq_q * cosv)
             ddc_phase = (jnp.mod(phase0[:, 0] + np.float32(n) * f_norm[:, 0], 1.0),)
         else:
+            freq_hz = None
             ddc_phase = ()
         # sample-rate arrays are STORED in the compute dtype from here on
         # (the dequant/DDC math above runs f32); no-op when cdt is f32
@@ -464,8 +494,17 @@ class Pipeline:
             dre = ii32 * pi_ + qq32 * pq_
             dim = qq32 * pi_ - ii32 * pq_
             audio = jnp.arctan2(dim, dre) * scale
+            dc = jnp.mean(audio, axis=-1)
             if c.dc_block:
-                audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
+                audio = audio - dc[:, None]
+            if c.afc:
+                # discriminator DC of 1.0 == spec.dev Hz of residual carrier
+                # offset (scale above); first-order loop with clamped output
+                maxhz = np.float32(c.afc_max_hz if c.afc_max_hz is not None
+                                   else c.spec.bandwidth / 2.0)
+                afc_freq = (jnp.clip(
+                    freq_hz + np.float32(c.afc_beta) * dc
+                    * np.float32(self._dev), -maxhz, maxhz),)
 
             if self._afsk:
                 # AFSK front end: dual-tone quadrature discriminator (S5/S6)
@@ -635,5 +674,5 @@ class Pipeline:
         new_state = PipelineState(chan_tail_i=new_ctail_i, chan_tail_q=new_ctail_q,
                                   fm_prev=fm_state, fir=fir_state, timing=timing_state,
                                   chipbuf=chipbuf, buf_fill=buf_fill,
-                                  aux=tuple(aux_state) + ddc_phase)
+                                  aux=tuple(aux_state) + ddc_phase + afc_freq)
         return new_state, out

@@ -69,6 +69,15 @@ class DecoderSession:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(max_workers=self.host_workers)
 
+    @property
+    def afc_freqs(self):
+        """Per-channel AFC-tracked carrier offsets in Hz ([C] float32), or
+        None when config.afc is off. The live analogue of where the human
+        would have re-dragged each VFO (main.cpp:55-56)."""
+        if not self.config.afc:
+            return None
+        return np.asarray(self.state.aux[-1])
+
     def reset_channel(self, channel: int) -> None:
         """Drop a channel's host state (elastic recovery, SURVEY.md §5.3);
         device state re-syncs on the next frames by itself (syncword

@@ -1,0 +1,78 @@
+"""Automatic frequency control: per-channel carrier-drift tracking.
+
+The reference relies on the human re-dragging the VFO when a sonde's
+transmitter drifts (main.cpp:55-56); sondetpu tracks drift device-side —
+the DDC frequency is pipeline STATE nudged each block by the FM
+discriminator's DC (runtime/pipeline.py PipelineConfig.afc)."""
+
+import numpy as np
+import pytest
+
+from sondetpu.runtime.pipeline import PipelineConfig
+from sondetpu.runtime.session import DecoderSession
+from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+
+def _drifting_rs41(n_frames=16, f0=1000.0, f1=6500.0, seed=0):
+    fs = 48000.0
+    mod = RS41Modulator()
+    iq = mod.modulate([RS41Truth(frame_no=i) for i in range(n_frames)], fs=fs)
+    n = iq.size
+    t = np.arange(n)
+    finst = f0 + (f1 - f0) * t / n
+    phase = 2.0 * np.pi * np.cumsum(finst) / fs
+    sig = (iq * np.exp(1j * phase)).astype(np.complex64)
+    rng = np.random.default_rng(seed)
+    return sig + (0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                  ).astype(np.complex64)
+
+
+def _decode(sig, afc):
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000, afc=afc)
+    sess = DecoderSession(cfg)
+    for b in range(sig.size // 48000):
+        sess.process_block(sig[b * 48000:(b + 1) * 48000][None, :])
+    return sess
+
+
+def test_afc_tracks_drifting_carrier():
+    """Carrier drifting 1 -> 6.5 kHz across the stream: the AFC loop keeps
+    the signal centered (tracked freq follows the ramp) and decodes frames
+    the static pipeline loses once the drift leaves the channel filter."""
+    sig = _drifting_rs41()
+    static = _decode(sig, afc=False)
+    afc = _decode(sig, afc=True)
+    assert afc.metrics.frames_decoded >= static.metrics.frames_decoded + 2
+    # tracked frequency ends near the final ramp value
+    f = afc.afc_freqs[0]
+    assert 4000.0 < f < 6500.0
+    assert static.afc_freqs is None
+
+
+def test_afc_state_checkpoints(tmp_path):
+    from sondetpu.runtime import checkpoint as ckpt
+
+    sig = _drifting_rs41(n_frames=4, f0=2000.0, f1=2000.0)
+    sess = _decode(sig, afc=True)
+    f_before = sess.afc_freqs.copy()
+    assert abs(f_before[0] - 2000.0) < 600.0
+    path = tmp_path / "afc.ckpt"
+    ckpt.save_session(sess, str(path))
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000, afc=True)
+    sess2 = DecoderSession(cfg)
+    ckpt.load_session(sess2, str(path))
+    np.testing.assert_allclose(sess2.afc_freqs, f_before)
+
+
+def test_afc_config_gates():
+    with pytest.raises(ValueError):
+        PipelineConfig(sonde="imet4", channels=1, afc=True)   # AFSK
+    with pytest.raises(ValueError):
+        PipelineConfig(sonde="rs41", channels=8, afc=True, use_pallas=True)
+
+
+def test_afc_seeded_by_fine_offsets():
+    cfg = PipelineConfig(sonde="rs41", channels=2, block_len=48000,
+                         afc=True, fine_offsets=(1500.0, -800.0))
+    sess = DecoderSession(cfg)
+    np.testing.assert_allclose(sess.afc_freqs, [1500.0, -800.0])
