@@ -11,7 +11,9 @@ replacing a NCCL-style backend.
 
 from sondetpu.parallel.mesh import make_mesh, distributed_init
 from sondetpu.parallel.sharding import (
-    shard_channels, sharded_pipeline_step, time_parallel_fir)
+    frontend_serial, shard_channels, sharded_pipeline_step,
+    time_parallel_fir, time_parallel_frontend)
 
 __all__ = ["make_mesh", "distributed_init", "shard_channels",
-           "sharded_pipeline_step", "time_parallel_fir"]
+           "sharded_pipeline_step", "time_parallel_fir",
+           "time_parallel_frontend", "frontend_serial"]

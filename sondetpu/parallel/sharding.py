@@ -84,3 +84,99 @@ def time_parallel_fir(x: jax.Array, taps: jax.Array, mesh: Mesh,
     fn = shard_map(local, mesh=mesh,
                    in_specs=P(None, axis), out_specs=P(None, axis))
     return fn(x)
+
+
+def frontend_serial(iq_i: jax.Array, iq_q: jax.Array, chan_taps, match_taps,
+                    decim: int = 1, scale: float = 1.0,
+                    dc_block: bool = True) -> jax.Array:
+    """Single-device reference of the pipeline's jnp front end with zero
+    initial state: channel filter (stride ``decim``) -> FM quadrature
+    discriminator -> optional DC block -> matched FIR. The oracle for
+    :func:`time_parallel_frontend`."""
+    chan_taps = jnp.asarray(chan_taps)
+    match_taps = jnp.asarray(match_taps)
+    nt_c, nt_m = chan_taps.shape[0], match_taps.shape[0]
+    c = iq_i.shape[0]
+    z = jnp.zeros((c, nt_c - 1), iq_i.dtype)
+    cfi = _apply_windows(jnp.concatenate([z, iq_i], -1), chan_taps, stride=decim)
+    cfq = _apply_windows(jnp.concatenate([z, iq_q], -1), chan_taps, stride=decim)
+    z1 = jnp.zeros((c, 1), cfi.dtype)
+    pi_ = jnp.concatenate([z1, cfi[:, :-1]], -1)
+    pq_ = jnp.concatenate([z1, cfq[:, :-1]], -1)
+    dre = cfi * pi_ + cfq * pq_
+    dim = cfq * pi_ - cfi * pq_
+    audio = jnp.arctan2(dim, dre) * scale
+    if dc_block:
+        audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
+    zm = jnp.zeros((c, nt_m - 1), audio.dtype)
+    return _apply_windows(jnp.concatenate([zm, audio], -1), match_taps)
+
+
+def time_parallel_frontend(iq_i: jax.Array, iq_q: jax.Array, chan_taps,
+                           match_taps, mesh: Mesh, decim: int = 1,
+                           scale: float = 1.0, dc_block: bool = True,
+                           axis: str = "chip") -> jax.Array:
+    """The FULL demod front end over a TIME-sharded block (SURVEY.md §5.7).
+
+    One IQ block [C, n] has its time axis split across the mesh; each
+    device receives a single left halo of
+
+        H = decim * nt_match + nt_chan - 1
+
+    full-rate samples from its neighbor via ``ppermute`` and RECOMPUTES the
+    chain inside the halo (channel filter + decimate + FM discriminator +
+    matched FIR) — one collective for three dependent stages, the same
+    recompute-in-halo strategy as the fused Pallas kernel's intra-block
+    chunks (pallas/frontend.py). The DC block becomes a ``pmean`` over the
+    time axis. Output [C, n // decim] equals :func:`frontend_serial`
+    exactly; device 0 uses zero history (a fresh stream).
+
+    This is the framework's context-parallel demonstration beyond a single
+    FIR: the whole memory-bound front end scales over devices when one
+    block's time span (not the channel count) is the large axis.
+    """
+    chan_taps = jnp.asarray(chan_taps)
+    match_taps = jnp.asarray(match_taps)
+    nt_c, nt_m = chan_taps.shape[0], match_taps.shape[0]
+    ndev = mesh.shape[axis]
+    c, n = iq_i.shape
+    n_loc = n // ndev
+    if n % ndev or n_loc % decim:
+        raise ValueError(f"n={n} must split into {ndev} blocks divisible "
+                         f"by decim={decim}")
+    H = decim * nt_m + nt_c - 1
+    if H > n_loc:
+        raise ValueError(f"halo {H} exceeds local block {n_loc}")
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local(xi, xq):
+        def with_halo(x):
+            h = jax.lax.ppermute(x[:, -H:], axis, perm)
+            idx = jax.lax.axis_index(axis)
+            h = jnp.where(idx == 0, jnp.zeros_like(h), h)
+            return jnp.concatenate([h, x], axis=-1)
+
+        # chanfilt over [C, H + n_loc]: nt_m extra (history) outputs lead
+        # the local segment ((H - nt_c + 1)/decim == nt_m by construction)
+        cfi = _apply_windows(with_halo(xi), chan_taps, stride=decim)
+        cfq = _apply_windows(with_halo(xq), chan_taps, stride=decim)
+        pi_, pq_ = cfi[:, :-1], cfq[:, :-1]
+        ci, cq = cfi[:, 1:], cfq[:, 1:]
+        dre = ci * pi_ + cq * pq_
+        dim = cq * pi_ - ci * pq_
+        audio = jnp.arctan2(dim, dre) * scale   # [C, nt_m - 1 + n_loc/decim]
+        if dc_block:
+            dc = jax.lax.pmean(
+                jnp.mean(audio[:, nt_m - 1:], axis=-1, keepdims=True), axis)
+            audio = audio - dc
+            # device 0's history is the serial path's literal zero initial
+            # state — keep it zero rather than dc-subtracted
+            idx = jax.lax.axis_index(axis)
+            hist = jnp.arange(audio.shape[-1]) < nt_m - 1
+            audio = jnp.where((idx == 0) & hist[None, :], 0.0, audio)
+        return _apply_windows(audio, match_taps)  # [C, n_loc / decim]
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, axis), P(None, axis)),
+                   out_specs=P(None, axis))
+    return fn(iq_i, iq_q)

@@ -6,7 +6,9 @@ import jax
 import jax.numpy as jnp
 
 from sondetpu.dsp.fir import design_lowpass, fir_filter
-from sondetpu.parallel import make_mesh, shard_channels, sharded_pipeline_step, time_parallel_fir
+from sondetpu.parallel import (frontend_serial, make_mesh, shard_channels,
+                               sharded_pipeline_step, time_parallel_fir,
+                               time_parallel_frontend)
 from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
 from sondetpu.runtime.session import DecoderSession
 from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
@@ -26,6 +28,29 @@ def test_time_parallel_fir_matches_serial():
     want = np.asarray(fir_filter(jnp.asarray(x), taps))
     got = np.asarray(time_parallel_fir(jnp.asarray(x), taps, mesh))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("decim", [1, 2])
+def test_time_parallel_frontend_matches_serial(decim):
+    """The FULL front end (chanfilt+decim+FM demod+matched FIR) over a
+    time-sharded block — ONE ppermute halo, recompute inside it, pmean DC —
+    equals the serial chain exactly (SURVEY.md §5.7 beyond a single FIR)."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    n = 8 * 1024 * decim
+    xi = rng.normal(size=(4, n)).astype(np.float32)
+    xq = rng.normal(size=(4, n)).astype(np.float32)
+    chan_taps = design_lowpass(5000.0, 48000.0, 41)
+    match_taps = design_lowpass(2640.0, 48000.0 / decim, 41)
+    for dc_block in (False, True):
+        want = np.asarray(frontend_serial(
+            jnp.asarray(xi), jnp.asarray(xq), chan_taps, match_taps,
+            decim=decim, scale=3.18, dc_block=dc_block))
+        got = np.asarray(time_parallel_frontend(
+            jnp.asarray(xi), jnp.asarray(xq), chan_taps, match_taps, mesh,
+            decim=decim, scale=3.18, dc_block=dc_block))
+        assert got.shape == want.shape == (4, n // decim)
+        np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_channel_sharded_pipeline_step():
