@@ -50,6 +50,7 @@ class FrameworkConfig:
     channels: int = 1
     fs: float = 48000.0             # per-channel IQ rate
     wideband: bool = False          # input is wideband -> PFB channelize
+    wide_bins: int = 0              # PFB bin count (0 = take CLI --bins)
     block_len: int = 48000
     sync_threshold: float = 0.6
     use_pallas: bool = False

@@ -179,7 +179,7 @@ def _decode_wideband(args, cfg) -> int:
     from sondetpu.io.iq import IQFileSource
     from sondetpu.runtime.fleet import FleetChannel, FleetSession
 
-    n_bins = args.bins
+    n_bins = cfg.wide_bins or args.bins
     fs_chan = cfg.fs
     fs_wide = n_bins * fs_chan
     if not cfg.channel_map:
@@ -274,7 +274,7 @@ def cmd_scan(args) -> int:
                       for c in carriers]))
     if args.out:
         base = FrameworkConfig.load(args.config) if args.config else None
-        cfg = scan_to_config(carriers, base)
+        cfg = scan_to_config(carriers, base, fs_wide=args.fs_wide)
         cfg.save(args.out)
         print(f"channel_map ({len(cfg.channel_map)} entries) -> {args.out}",
               file=sys.stderr)

@@ -230,13 +230,17 @@ def classify_carriers(iq, fs_wide: float, carriers: Sequence[Carrier],
     return carriers
 
 
-def scan_to_config(carriers: Sequence[Carrier], cfg=None):
+def scan_to_config(carriers: Sequence[Carrier], cfg=None,
+                   fs_wide: Optional[float] = None):
     """Fill a :class:`FrameworkConfig` channel_map from classified carriers
-    (classified ones only), ready for ``decode --wideband --config``."""
+    (classified ones only), ready for ``decode --wideband --config``.
+    ``fs_wide`` also bakes the PFB bin count so decode needs no --bins."""
     from sondetpu.cli.config import ChannelConfig, FrameworkConfig
 
     cfg = cfg or FrameworkConfig()
     cfg.wideband = True
+    if fs_wide is not None:
+        cfg.wide_bins = int(round(fs_wide / cfg.fs))
     cfg.channel_map = [
         ChannelConfig(center_freq=float(c.center_hz), sonde=c.sonde)
         for c in carriers if c.sonde is not None]

@@ -127,6 +127,7 @@ def test_cli_scan_writes_channel_map(tmp_path):
     assert rc == 0
     cfg = json.loads(out.read_text())
     assert cfg["wideband"] is True
+    assert cfg["wide_bins"] == 8     # decode --wideband needs no --bins
     assert len(cfg["channel_map"]) == 1
     entry = cfg["channel_map"][0]
     assert entry["sonde"] == "rs41"
