@@ -203,6 +203,10 @@ def _decode_wideband(args, cfg) -> int:
         chans, n_bins=n_bins, fs_chan=fs_chan, block_len=cfg.block_len,
         sync_threshold=cfg.sync_threshold, use_pallas=cfg.use_pallas,
         afc=args.afc or cfg.afc, on_update=fleet_update)
+    if args.resume:
+        from sondetpu.runtime import checkpoint as ckpt
+        ckpt.load_fleet(fleet, args.resume)
+        print(f"fleet resumed from {args.resume}", file=sys.stderr)
     w = n_bins * cfg.block_len
     if args.stream:
         from sondetpu.io.iq import StreamingIQSource
@@ -224,6 +228,10 @@ def _decode_wideband(args, cfg) -> int:
             print(CLEAR + render_table(
                 latest, title=f"[wideband] blocks={blocks} updates={updates}"),
                 file=sys.stderr)
+    if args.checkpoint:
+        from sondetpu.runtime import checkpoint as ckpt
+        ckpt.save_fleet(fleet, args.checkpoint)
+        print(f"fleet checkpoint -> {args.checkpoint}", file=sys.stderr)
     for s in sinks:
         if s:
             s.deinit()

@@ -59,3 +59,54 @@ def load_session(session, path: str) -> None:
     session.telemetry = payload["telemetry"]
     session.frames_seen = payload["frames_seen"]
     session.blocks_seen = payload["blocks_seen"]
+
+
+def save_fleet(fleet, path: str) -> None:
+    """Snapshot a FleetSession: the PFB channelizer carry plus every
+    per-type group's full session payload (keyed by sonde type)."""
+    groups = {}
+    for sonde, (idxs, sess) in fleet.groups.items():
+        groups[sonde] = {
+            "idxs": list(idxs),
+            "pipeline_state": _to_host(sess.state),
+            "decoder": sess.decoder.__dict__,
+            "telemetry": sess.telemetry,
+            "frames_seen": sess.frames_seen,
+            "blocks_seen": sess.blocks_seen,
+        }
+    payload = {
+        "version": FORMAT_VERSION,
+        "fleet": True,
+        "n_bins": fleet.n_bins,
+        "block_len": fleet.block_len,
+        "pfb_state": _to_host(fleet.pfb_state),
+        "groups": groups,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_fleet(fleet, path: str) -> None:
+    """Restore a fleet snapshot into a freshly constructed FleetSession
+    with the same channel map; raises on layout mismatch."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("version") != FORMAT_VERSION or not payload.get("fleet"):
+        raise ValueError("not a fleet checkpoint of a supported version")
+    for key in ("n_bins", "block_len"):
+        if payload[key] != getattr(fleet, key):
+            raise ValueError(f"checkpoint {key}={payload[key]!r} != fleet "
+                             f"{key}={getattr(fleet, key)!r}")
+    if set(payload["groups"]) != set(fleet.groups):
+        raise ValueError(f"checkpoint groups {sorted(payload['groups'])} != "
+                         f"fleet groups {sorted(fleet.groups)}")
+    fleet.pfb_state = payload["pfb_state"]
+    for sonde, g in payload["groups"].items():
+        idxs, sess = fleet.groups[sonde]
+        if list(idxs) != g["idxs"]:
+            raise ValueError(f"channel layout changed for group {sonde!r}")
+        sess.state = g["pipeline_state"]
+        sess.decoder.__dict__.update(g["decoder"])
+        sess.telemetry = g["telemetry"]
+        sess.frames_seen = g["frames_seen"]
+        sess.blocks_seen = g["blocks_seen"]

@@ -133,3 +133,48 @@ def test_mixed_fleet_bf16_gates_afsk_groups():
     _, sess_imet4 = fleet.groups["imet4"]
     assert sess_rs41.config.compute_dtype == "bf16"
     assert sess_imet4.config.compute_dtype == "f32"
+
+
+def test_fleet_checkpoint_roundtrip(tmp_path):
+    """Fleet checkpoint/resume: PFB carry + every group's device/host state
+    survive a restart (SURVEY.md §5.4 extended to mixed fleets)."""
+    from sondetpu.runtime import checkpoint as ckpt
+    from sondetpu.runtime.fleet import FleetChannel, FleetSession
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    n_bins = 4
+    fs_wide = n_bins * 48000.0
+    chans = [FleetChannel(pfb_bin=1, sonde="rs41"),
+             FleetChannel(pfb_bin=3, sonde="m10")]
+    fleet = FleetSession(chans, n_bins=n_bins)
+    centers = fleet.pfb.center_freqs(fs_wide)
+
+    rs41 = RS41Modulator()
+    bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=7 + i)) for i in range(3)]))
+    wide = _narrowband_at_wideband(bits, 4800.0, 2400.0, fs_wide, centers[1])
+    w = n_bins * 48000
+    n = ((wide.size + w - 1) // w) * w
+    full = np.zeros(n, np.complex64)
+    full[:wide.size] = wide
+
+    fleet.process_wideband(full[:w])
+    path = tmp_path / "fleet.ckpt"
+    ckpt.save_fleet(fleet, str(path))
+
+    # a fresh fleet resumes and continues mid-stream: same telemetry as an
+    # uninterrupted run
+    fleet2 = FleetSession(chans, n_bins=n_bins)
+    ckpt.load_fleet(fleet2, str(path))
+    for blk in (fleet, fleet2):
+        for i in range(w, n - w + 1, w):
+            blk.process_wideband(full[i:i + w])
+    t1, t2 = fleet.telemetry, fleet2.telemetry
+    assert 0 in t1 and 0 in t2
+    assert t1[0].serial == t2[0].serial == "S1234567"
+    assert t1[0].seq == t2[0].seq
+
+    # layout mismatch rejected
+    other = FleetSession([FleetChannel(pfb_bin=1, sonde="rs41")], n_bins=n_bins)
+    with pytest.raises(ValueError):
+        ckpt.load_fleet(other, str(path))
