@@ -182,9 +182,11 @@ def _decode_wideband(args, cfg) -> int:
     n_bins = cfg.wide_bins or args.bins
     fs_chan = cfg.fs
     fs_wide = n_bins * fs_chan
+    if args.auto:
+        return _decode_wideband_auto(args, cfg, n_bins)
     if not cfg.channel_map:
-        print("wideband decode needs --config with channel_map entries",
-              file=sys.stderr)
+        print("wideband decode needs --config with channel_map entries "
+              "(or --auto to discover sondes live)", file=sys.stderr)
         return 2
     chans = []
     for entry in cfg.channel_map:
@@ -236,6 +238,56 @@ def _decode_wideband(args, cfg) -> int:
         if s:
             s.deinit()
     print(f'{{"wideband_blocks": {blocks}, "updates": {updates}}}', file=sys.stderr)
+    return 0
+
+
+def _decode_wideband_auto(args, cfg, n_bins) -> int:
+    """Self-managing wideband decode: no channel_map — the AutoFleet
+    discovers carriers live, classifies them by decoding, and grows/shrinks
+    the fleet (runtime/autofleet.py)."""
+    from sondetpu.io.iq import IQFileSource, StreamingIQSource
+    from sondetpu.runtime.autofleet import AutoFleet
+
+    on_update, sinks = _make_sinks(args)
+
+    def auto_update(ch, sonde, t):
+        on_update(ch, t, sonde)
+
+    def on_change(tracked):
+        desc = ", ".join(f"{t.sonde}@{t.center_hz / 1e3:+.1f}kHz"
+                         for t in tracked) or "(none)"
+        print(f"[auto] fleet now: {desc}", file=sys.stderr)
+
+    auto = AutoFleet(n_bins=n_bins, fs_chan=cfg.fs, block_len=cfg.block_len,
+                     rescan_blocks=args.rescan, sync_threshold=cfg.sync_threshold,
+                     compute_dtype=cfg.compute_dtype, afc=args.afc or cfg.afc,
+                     on_update=auto_update, on_change=on_change)
+    w = n_bins * cfg.block_len
+    if args.stream:
+        blk_iter = ((pi + 1j * pq).astype(np.complex64) for pi, pq, _ in
+                    StreamingIQSource(args.iq, block_len=w,
+                                      fmt=args.format).blocks())
+    else:
+        blk_iter = (b for b, _ in
+                    IQFileSource(args.iq, block_len=w, fmt=args.format).blocks())
+    blocks = updates = 0
+    for block in blk_iter:
+        updates += auto.process_wideband(block)
+        blocks += 1
+        if args.status and blocks % args.status == 0:
+            print(f"[auto] blocks={blocks} updates={updates} "
+                  f"tracked={len(auto.tracked)}", file=sys.stderr)
+        if args.table and blocks % args.table == 0:
+            from sondetpu.io.table import CLEAR, render_table
+            print(CLEAR + render_table(
+                auto.telemetry,
+                title=f"[auto] blocks={blocks} tracked={len(auto.tracked)}"),
+                file=sys.stderr)
+    for s in sinks:
+        if s:
+            s.deinit()
+    print(f'{{"wideband_blocks": {blocks}, "updates": {updates}, '
+          f'"tracked": {len(auto.tracked)}}}', file=sys.stderr)
     return 0
 
 
@@ -342,6 +394,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="input is wideband; channelize per config channel_map")
     pd.add_argument("--bins", type=int, default=8,
                     help="PFB channel count for --wideband")
+    pd.add_argument("--auto", action="store_true",
+                    help="with --wideband: no channel_map needed — discover "
+                         "and classify sondes live, grow the fleet as they "
+                         "launch (runtime/autofleet.py)")
+    pd.add_argument("--rescan", type=int, default=10,
+                    help="--auto: re-scan the spectrum every N blocks")
     pd.set_defaults(fn=cmd_decode)
 
     pf = sub.add_parser("fer", help="frame-error-rate vs SNR sweep")

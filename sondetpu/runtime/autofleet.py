@@ -1,0 +1,178 @@
+"""Self-managing wideband decoding: discover sondes as they launch.
+
+The reference's operating model is a human watching the waterfall and
+creating one module instance per sonde as carriers appear
+(main.cpp:23,55-56,136-151).  :class:`AutoFleet` closes that loop for a
+production receiver: every ``rescan_blocks`` wideband blocks it re-runs the
+PSD carrier scan (dsp/scan.py) over the live stream, classifies carriers it
+has not seen before by decode-probing buffered blocks, and extends the
+fleet's channel map — new sondes start decoding without operator action,
+and carriers that vanish are dropped after an idle timeout.
+
+Fleet changes recompile the affected per-type pipeline (channel counts are
+static shapes), so membership changes are applied only when the carrier
+set actually changes; surviving groups whose channel list is unchanged keep
+their device/host state (sessions are reused object-identically), and a
+changed group re-synchronizes within a frame or two — the protocol's own
+elasticity (SURVEY.md §5.3).  Last-known telemetry is kept at the AutoFleet
+level across rebuilds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sondetpu.dsp.scan import classify_carriers, detect_carriers
+from sondetpu.runtime.fleet import FleetChannel, FleetSession
+from sondetpu.telemetry import SondeTelemetry
+
+
+@dataclass
+class TrackedSonde:
+    """One discovered emitter being decoded."""
+
+    center_hz: float
+    sonde: str
+    last_update_block: int = 0
+    found_block: int = 0
+    telem: Optional[SondeTelemetry] = None   # last-known, survives rebuilds
+
+
+class AutoFleet:
+    """Wideband IQ in, telemetry out — channels managed automatically."""
+
+    def __init__(self, n_bins: int, fs_chan: float = 48000.0,
+                 block_len: int = 48000, rescan_blocks: int = 10,
+                 min_snr_db: float = 8.0, families=None,
+                 sync_threshold: float = 0.55, probe_blocks: int = 2,
+                 drop_idle_blocks: int = 0, on_update=None,
+                 on_change=None, compute_dtype: str = "f32",
+                 afc: bool = False):
+        self.n_bins = n_bins
+        self.fs_chan = fs_chan
+        self.fs_wide = n_bins * fs_chan
+        self.block_len = block_len
+        self.rescan_blocks = rescan_blocks
+        self.min_snr_db = min_snr_db
+        self.families = families
+        self.sync_threshold = sync_threshold
+        self.probe_blocks = max(1, probe_blocks)
+        self.drop_idle_blocks = drop_idle_blocks
+        self.on_update = on_update
+        self.on_change = on_change          # callback(list[TrackedSonde])
+        self.compute_dtype = compute_dtype
+        self.afc = afc
+
+        self.tracked: List[TrackedSonde] = []
+        self.blocks_seen = 0
+        self.fleet: Optional[FleetSession] = None
+        self._recent: List[np.ndarray] = []   # last wideband blocks (host)
+
+    @property
+    def telemetry(self) -> Dict[int, Tuple[str, SondeTelemetry]]:
+        """Last-known telemetry keyed by tracked-sonde index."""
+        return {i: (t.sonde, t.telem) for i, t in enumerate(self.tracked)
+                if t.telem is not None}
+
+    # -- internals ----------------------------------------------------------
+
+    def _fleet_update(self, ch: int, sonde: str, telem: SondeTelemetry) -> None:
+        if ch < len(self.tracked):
+            self.tracked[ch].last_update_block = self.blocks_seen
+            self.tracked[ch].telem = telem
+        if self.on_update is not None:
+            self.on_update(ch, sonde, telem)
+
+    def _known(self, center_hz: float) -> bool:
+        return any(abs(t.center_hz - center_hz) < 0.25 * self.fs_chan
+                   for t in self.tracked)
+
+    def _rebuild(self) -> None:
+        """Apply the current ``tracked`` list as the fleet's channel map,
+        transplanting state for groups whose channel list is unchanged."""
+        old_groups = self.fleet.groups if self.fleet is not None else {}
+        old_channels = (self.fleet.channels if self.fleet is not None else [])
+
+        chans = []
+        for t in self.tracked:
+            k = int(round(t.center_hz / self.fs_chan)) % self.n_bins
+            f_bin = (k if k < self.n_bins / 2 else k - self.n_bins) * self.fs_chan
+            chans.append(FleetChannel(pfb_bin=k, sonde=t.sonde,
+                                      offset_hz=t.center_hz - f_bin))
+        if not chans:
+            self.fleet = None
+            return
+        fleet = FleetSession(chans, n_bins=self.n_bins, fs_chan=self.fs_chan,
+                             block_len=self.block_len,
+                             sync_threshold=self.sync_threshold,
+                             compute_dtype=self.compute_dtype, afc=self.afc,
+                             on_update=self._fleet_update)
+        # reuse the old session (device + host state) for any sonde group
+        # whose logical channels are IDENTICAL (same bins/offsets in the
+        # same order) — the common case when a new type appears
+        for sonde, (idxs, sess) in fleet.groups.items():
+            if sonde not in old_groups:
+                continue
+            o_idxs, o_sess = old_groups[sonde]
+            same = (len(idxs) == len(o_idxs) and all(
+                (chans[i].pfb_bin, chans[i].offset_hz)
+                == (old_channels[j].pfb_bin, old_channels[j].offset_hz)
+                for i, j in zip(idxs, o_idxs)))
+            if same:
+                o_sess.on_update = fleet._wrap(sonde, idxs, self._fleet_update)
+                fleet.groups[sonde] = (idxs, o_sess)
+        if self.fleet is not None:
+            fleet.pfb_state = self.fleet.pfb_state
+        self.fleet = fleet
+        if self.on_change is not None:
+            self.on_change(list(self.tracked))
+
+    def _rescan(self) -> None:
+        wide = np.concatenate(self._recent)
+        carriers = detect_carriers(wide, self.fs_wide,
+                                   min_snr_db=self.min_snr_db)
+        fresh = [c for c in carriers if not self._known(c.center_hz)]
+        changed = False
+        if fresh:
+            fresh = classify_carriers(
+                wide, self.fs_wide, fresh, fs_chan=self.fs_chan,
+                block_len=self.block_len, families=self.families,
+                sync_threshold=self.sync_threshold)
+            for c in fresh:
+                if c.sonde is not None:
+                    self.tracked.append(TrackedSonde(
+                        center_hz=c.center_hz, sonde=c.sonde,
+                        last_update_block=self.blocks_seen,
+                        found_block=self.blocks_seen))
+                    changed = True
+        if self.drop_idle_blocks:
+            keep = [t for t in self.tracked
+                    if self.blocks_seen - t.last_update_block
+                    <= self.drop_idle_blocks]
+            if len(keep) != len(self.tracked):
+                self.tracked = keep
+                changed = True
+        if changed:
+            self._rebuild()
+
+    # -- public -------------------------------------------------------------
+
+    def process_wideband(self, iq: np.ndarray) -> int:
+        """One wideband block [n_bins * block_len] complex64.  Returns
+        telemetry updates this block."""
+        iq = np.asarray(iq)
+        self._recent.append(iq)
+        if len(self._recent) > self.probe_blocks:
+            self._recent.pop(0)
+        updates = 0
+        if self.fleet is not None:
+            updates = self.fleet.process_wideband(iq)
+        self.blocks_seen += 1
+        if (self.blocks_seen % self.rescan_blocks == 0
+                or (self.fleet is None
+                    and len(self._recent) >= self.probe_blocks)):
+            self._rescan()
+        return updates

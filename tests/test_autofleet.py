@@ -1,0 +1,109 @@
+"""AutoFleet: live discovery + classification of sondes in a wideband
+stream (runtime/autofleet.py) — the reference's human create-an-instance-
+per-carrier workflow (main.cpp:23,55-56) run closed-loop."""
+
+import numpy as np
+import pytest
+
+from sondetpu.runtime.autofleet import AutoFleet
+from sondetpu.sondes.modulate import freq_shift, gfsk_modulate
+
+N_BINS = 4
+FS_CHAN = 48000.0
+FS_WIDE = N_BINS * FS_CHAN
+W = N_BINS * 48000
+
+
+def _rs41_sig(n_frames, first=40):
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    mod = RS41Modulator()
+    bits = mod.frames_to_bits(np.stack(
+        [mod.build_frame(RS41Truth(frame_no=first + i))
+         for i in range(n_frames)]))
+    return freq_shift(gfsk_modulate(bits, FS_WIDE / 4800.0, 2400.0 / FS_WIDE),
+                      FS_CHAN / FS_WIDE)              # bin 1
+
+
+def _m10_sig(n_frames):
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    chips = mod.frames_to_chips(np.stack(
+        [mod.build_frame(M10Truth(frame_no=8 + i)) for i in range(n_frames)]))
+    return freq_shift(
+        gfsk_modulate(chips, FS_WIDE / 9600.0, 12000.0 / FS_WIDE, bt=0.7),
+        -FS_CHAN / FS_WIDE)                           # bin -1
+
+def test_autofleet_discovers_and_grows():
+    """RS41 transmits from t=0; an M10 launches 3 blocks in.  The AutoFleet
+    finds the RS41 on its first scan, decodes it, then picks up the M10 at
+    a later rescan WITHOUT losing the RS41 group's state (its session is
+    reused object-identically across the rebuild)."""
+    n_blocks = 9
+    wide = np.zeros(n_blocks * W, np.complex64)
+    rs = _rs41_sig(14)
+    wide[:rs.size] += rs[:wide.size]
+    m10 = _m10_sig(60)
+    start = 3 * W
+    seg = m10[:wide.size - start]
+    wide[start:start + seg.size] += seg
+
+    changes = []
+    auto = AutoFleet(n_bins=N_BINS, rescan_blocks=3, probe_blocks=2,
+                     families=["rs41", "m10"], min_snr_db=8.0,
+                     on_change=lambda tr: changes.append(
+                         [t.sonde for t in tr]))
+    for b in range(n_blocks):
+        auto.process_wideband(wide[b * W:(b + 1) * W])
+
+    kinds = sorted(t.sonde for t in auto.tracked)
+    assert kinds == ["m10", "rs41"]
+    telem = auto.telemetry
+    by_type = {s: t for _, (s, t) in telem.items()}
+    assert by_type["rs41"].serial == "S1234567"
+    assert by_type["m10"].serial == "ME10A00001"
+    # rs41 session survived the m10 rebuild: telemetry kept advancing, so
+    # its last seq is near the final transmitted frame
+    assert by_type["rs41"].seq >= 48
+    # first change discovered only rs41; a later change added m10
+    assert changes[0] == ["rs41"]
+    assert changes[-1] in (["rs41", "m10"], ["m10", "rs41"])
+    # the rs41 group object was REUSED (state transplant, not restart)
+    rs41_sess = auto.fleet.groups["rs41"][1]
+    assert rs41_sess.blocks_seen > 3
+
+
+def test_autofleet_drops_idle():
+    """A carrier that stops transmitting is dropped after drop_idle_blocks."""
+    n_blocks = 10
+    wide = np.zeros(n_blocks * W, np.complex64)
+    rs = _rs41_sig(6)          # ~3.2 s, silent afterwards
+    wide[:rs.size] += rs[:wide.size]
+
+    auto = AutoFleet(n_bins=N_BINS, rescan_blocks=2, probe_blocks=2,
+                     families=["rs41"], min_snr_db=8.0, drop_idle_blocks=3)
+    seen = []
+    for b in range(n_blocks):
+        auto.process_wideband(wide[b * W:(b + 1) * W])
+        seen.append(len(auto.tracked))
+    assert max(seen) == 1          # discovered while transmitting
+    assert len(auto.tracked) == 0  # dropped after going quiet
+
+
+def test_cli_auto_decode(tmp_path):
+    from sondetpu.cli.main import main
+    from sondetpu.io.iq import write_iq
+
+    wide = np.zeros(6 * W, np.complex64)
+    rs = _rs41_sig(10)
+    wide[:min(rs.size, wide.size)] += rs[:wide.size]
+    path = tmp_path / "wide.cf32"
+    write_iq(str(path), wide, "cf32")
+    out = tmp_path / "o.jsonl"
+    rc = main(["decode", "--iq", str(path), "--wideband", "--bins", "4",
+               "--auto", "--rescan", "3", "--jsonl", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) >= 3
+    assert '"serial": "S1234567"' in lines[-1]
