@@ -179,7 +179,9 @@ def _decode_wideband(args, cfg) -> int:
     from sondetpu.io.iq import IQFileSource
     from sondetpu.runtime.fleet import FleetChannel, FleetSession
 
-    n_bins = cfg.wide_bins or args.bins
+    # explicit CLI flag wins over the config (repo-wide convention);
+    # scan-emitted configs carry wide_bins so neither is usually needed
+    n_bins = args.bins or cfg.wide_bins or 8
     fs_chan = cfg.fs
     fs_wide = n_bins * fs_chan
     if args.auto:
@@ -188,10 +190,10 @@ def _decode_wideband(args, cfg) -> int:
         print("wideband decode needs --config with channel_map entries "
               "(or --auto to discover sondes live)", file=sys.stderr)
         return 2
+    from sondetpu.dsp.channelizer import bin_and_offset
     chans = []
     for entry in cfg.channel_map:
-        k = int(round(entry.center_freq / fs_chan)) % n_bins
-        resid = entry.center_freq - ((k if k < n_bins / 2 else k - n_bins) * fs_chan)
+        k, resid = bin_and_offset(entry.center_freq, fs_chan, n_bins)
         chans.append(FleetChannel(pfb_bin=k, sonde=entry.sonde, offset_hz=resid))
 
     on_update, sinks = _make_sinks(args)
@@ -261,7 +263,14 @@ def _decode_wideband_auto(args, cfg, n_bins) -> int:
     auto = AutoFleet(n_bins=n_bins, fs_chan=cfg.fs, block_len=cfg.block_len,
                      rescan_blocks=args.rescan, sync_threshold=cfg.sync_threshold,
                      compute_dtype=cfg.compute_dtype, afc=args.afc or cfg.afc,
+                     drop_idle_blocks=args.drop_idle,
+                     use_pallas=cfg.use_pallas,
                      on_update=auto_update, on_change=on_change)
+    if args.resume:
+        from sondetpu.runtime import checkpoint as ckpt
+        ckpt.load_autofleet(auto, args.resume)
+        print(f"autofleet resumed from {args.resume} "
+              f"({len(auto.tracked)} tracked)", file=sys.stderr)
     w = n_bins * cfg.block_len
     if args.stream:
         blk_iter = ((pi + 1j * pq).astype(np.complex64) for pi, pq, _ in
@@ -283,6 +292,10 @@ def _decode_wideband_auto(args, cfg, n_bins) -> int:
                 auto.telemetry,
                 title=f"[auto] blocks={blocks} tracked={len(auto.tracked)}"),
                 file=sys.stderr)
+    if args.checkpoint:
+        from sondetpu.runtime import checkpoint as ckpt
+        ckpt.save_autofleet(auto, args.checkpoint)
+        print(f"autofleet checkpoint -> {args.checkpoint}", file=sys.stderr)
     for s in sinks:
         if s:
             s.deinit()
@@ -316,7 +329,15 @@ def cmd_scan(args) -> int:
     if not carriers:
         print("no carriers above threshold", file=sys.stderr)
         return 1
-    fams = args.families.split(",") if args.families else None
+    fams = None
+    if args.families:
+        from sondetpu.sondes import SUPPORTED_TYPES
+        fams = [f.strip() for f in args.families.split(",") if f.strip()]
+        bad = sorted(set(fams) - set(SUPPORTED_TYPES))
+        if bad:
+            print(f"unknown families {bad}; have {sorted(SUPPORTED_TYPES)}",
+                  file=sys.stderr)
+            return 2
     if args.classify:
         probe = iq[: int(args.probe_secs * args.fs_wide)]
         carriers = classify_carriers(probe, args.fs_wide, carriers,
@@ -392,14 +413,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "reader (O(block) memory) instead of loading it")
     pd.add_argument("--wideband", action="store_true",
                     help="input is wideband; channelize per config channel_map")
-    pd.add_argument("--bins", type=int, default=8,
-                    help="PFB channel count for --wideband")
+    pd.add_argument("--bins", type=int, default=None,
+                    help="PFB channel count for --wideband (default: the "
+                         "config's wide_bins, else 8)")
     pd.add_argument("--auto", action="store_true",
                     help="with --wideband: no channel_map needed — discover "
                          "and classify sondes live, grow the fleet as they "
                          "launch (runtime/autofleet.py)")
     pd.add_argument("--rescan", type=int, default=10,
                     help="--auto: re-scan the spectrum every N blocks")
+    pd.add_argument("--drop-idle", type=int, default=0,
+                    help="--auto: drop a tracked sonde after N blocks "
+                         "without telemetry (0 = never)")
     pd.set_defaults(fn=cmd_decode)
 
     pf = sub.add_parser("fer", help="frame-error-rate vs SNR sweep")

@@ -91,6 +91,18 @@ def _dft_axis0(ui: jax.Array, uq: jax.Array, sign: float = 1.0):
     return yi.reshape((n,) + tail), yq.reshape((n,) + tail)
 
 
+def bin_and_offset(center_hz: float, fs_chan: float, n_bins: int):
+    """Map an arbitrary carrier frequency to (pfb_bin, fine_offset_hz).
+
+    The inverse of :meth:`PFBChannelizer.center_freqs` for off-grid
+    carriers: the nearest bin (mod N — the Nyquist bin aliases like any
+    other) plus the ALIAS-EQUIVALENT residual in [-fs_chan/2, fs_chan/2],
+    so the downstream fine DDC always rotates by a small frequency (a
+    large unwrapped residual would hit float32 phase quantization)."""
+    r = round(center_hz / fs_chan)
+    return int(r) % n_bins, center_hz - r * fs_chan
+
+
 class PFBChannelizer:
     """Critically-sampled N-channel analysis filter bank."""
 
@@ -116,6 +128,11 @@ class PFBChannelizer:
         k = np.arange(self.n)
         k = np.where(k < self.n / 2, k, k - self.n)
         return k * fs_wide / self.n
+
+    def bin_and_offset(self, center_hz: float, fs_chan: float):
+        """Map an arbitrary carrier frequency to (pfb_bin, fine_offset_hz);
+        see :func:`bin_and_offset`."""
+        return bin_and_offset(center_hz, fs_chan, self.n)
 
     def __call__(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
         """One block: wideband planes [W] (W % N == 0) ->

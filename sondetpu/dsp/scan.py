@@ -200,10 +200,9 @@ def classify_carriers(iq, fs_wide: float, carriers: Sequence[Carrier],
     bins_sel: List[int] = []
     resids: List[float] = []
     for c in carriers:
-        k = int(round(c.center_hz / fs_chan)) % n_bins
-        f_bin = (k if k < n_bins / 2 else k - n_bins) * fs_chan
+        k, resid = pfb.bin_and_offset(c.center_hz, fs_chan)
         bins_sel.append(k)
-        resids.append(c.center_hz - f_bin)
+        resids.append(resid)
 
     fams = list(families) if families is not None else list(SUPPORTED_TYPES)
     counts: Dict[str, np.ndarray] = {}

@@ -50,7 +50,7 @@ class AutoFleet:
                  sync_threshold: float = 0.55, probe_blocks: int = 2,
                  drop_idle_blocks: int = 0, on_update=None,
                  on_change=None, compute_dtype: str = "f32",
-                 afc: bool = False):
+                 afc: bool = False, use_pallas: bool = False):
         self.n_bins = n_bins
         self.fs_chan = fs_chan
         self.fs_wide = n_bins * fs_chan
@@ -65,11 +65,17 @@ class AutoFleet:
         self.on_change = on_change          # callback(list[TrackedSonde])
         self.compute_dtype = compute_dtype
         self.afc = afc
+        self.use_pallas = use_pallas
 
         self.tracked: List[TrackedSonde] = []
         self.blocks_seen = 0
         self.fleet: Optional[FleetSession] = None
         self._recent: List[np.ndarray] = []   # last wideband blocks (host)
+        # carriers that failed classification (interference, unknown
+        # protocols): remembered so they are not re-probed — and re-compiled
+        # — every rescan; retried after retry_failed_blocks
+        self._failed: List[Tuple[float, int]] = []   # (center_hz, block)
+        self.retry_failed_blocks = 10 * rescan_blocks
 
     @property
     def telemetry(self) -> Dict[int, Tuple[str, SondeTelemetry]]:
@@ -90,25 +96,34 @@ class AutoFleet:
         return any(abs(t.center_hz - center_hz) < 0.25 * self.fs_chan
                    for t in self.tracked)
 
+    def _recently_failed(self, center_hz: float) -> bool:
+        self._failed = [(f, b) for f, b in self._failed
+                        if self.blocks_seen - b <= self.retry_failed_blocks]
+        return any(abs(f - center_hz) < 0.25 * self.fs_chan
+                   for f, _ in self._failed)
+
     def _rebuild(self) -> None:
         """Apply the current ``tracked`` list as the fleet's channel map,
         transplanting state for groups whose channel list is unchanged."""
         old_groups = self.fleet.groups if self.fleet is not None else {}
         old_channels = (self.fleet.channels if self.fleet is not None else [])
 
+        from sondetpu.dsp.channelizer import bin_and_offset
         chans = []
         for t in self.tracked:
-            k = int(round(t.center_hz / self.fs_chan)) % self.n_bins
-            f_bin = (k if k < self.n_bins / 2 else k - self.n_bins) * self.fs_chan
+            k, resid = bin_and_offset(t.center_hz, self.fs_chan, self.n_bins)
             chans.append(FleetChannel(pfb_bin=k, sonde=t.sonde,
-                                      offset_hz=t.center_hz - f_bin))
+                                      offset_hz=resid))
         if not chans:
             self.fleet = None
+            if self.on_change is not None:
+                self.on_change([])
             return
         fleet = FleetSession(chans, n_bins=self.n_bins, fs_chan=self.fs_chan,
                              block_len=self.block_len,
                              sync_threshold=self.sync_threshold,
                              compute_dtype=self.compute_dtype, afc=self.afc,
+                             use_pallas=self.use_pallas,
                              on_update=self._fleet_update)
         # reuse the old session (device + host state) for any sonde group
         # whose logical channels are IDENTICAL (same bins/offsets in the
@@ -134,7 +149,8 @@ class AutoFleet:
         wide = np.concatenate(self._recent)
         carriers = detect_carriers(wide, self.fs_wide,
                                    min_snr_db=self.min_snr_db)
-        fresh = [c for c in carriers if not self._known(c.center_hz)]
+        fresh = [c for c in carriers if not self._known(c.center_hz)
+                 and not self._recently_failed(c.center_hz)]
         changed = False
         if fresh:
             fresh = classify_carriers(
@@ -148,6 +164,8 @@ class AutoFleet:
                         last_update_block=self.blocks_seen,
                         found_block=self.blocks_seen))
                     changed = True
+                else:
+                    self._failed.append((c.center_hz, self.blocks_seen))
         if self.drop_idle_blocks:
             keep = [t for t in self.tracked
                     if self.blocks_seen - t.last_update_block
@@ -171,8 +189,9 @@ class AutoFleet:
         if self.fleet is not None:
             updates = self.fleet.process_wideband(iq)
         self.blocks_seen += 1
+        # rescan on cadence, plus one early scan as soon as the probe
+        # buffer first fills (don't wait a whole cadence for first lock)
         if (self.blocks_seen % self.rescan_blocks == 0
-                or (self.fleet is None
-                    and len(self._recent) >= self.probe_blocks)):
+                or self.blocks_seen == self.probe_blocks):
             self._rescan()
         return updates

@@ -76,3 +76,18 @@ def test_afc_seeded_by_fine_offsets():
                          afc=True, fine_offsets=(1500.0, -800.0))
     sess = DecoderSession(cfg)
     np.testing.assert_allclose(sess.afc_freqs, [1500.0, -800.0])
+
+
+def test_checkpoint_rejects_afc_layout_mismatch(tmp_path):
+    """A checkpoint saved without afc cannot silently restore into an afc
+    session (and vice versa) — the state layouts differ."""
+    from sondetpu.runtime import checkpoint as ckpt
+
+    sig = _drifting_rs41(n_frames=2, f0=0.0, f1=0.0)
+    plain = _decode(sig, afc=False)
+    path = tmp_path / "plain.ckpt"
+    ckpt.save_session(plain, str(path))
+
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000, afc=True)
+    with pytest.raises(ValueError, match="layout|mismatch"):
+        ckpt.load_session(DecoderSession(cfg), str(path))

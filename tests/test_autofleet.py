@@ -107,3 +107,69 @@ def test_cli_auto_decode(tmp_path):
     lines = out.read_text().strip().splitlines()
     assert len(lines) >= 3
     assert '"serial": "S1234567"' in lines[-1]
+
+
+def test_bin_and_offset_nyquist_wrap():
+    """Carriers near the Nyquist bin get the alias-equivalent SMALL offset,
+    not an unwrapped ~fs_wide residual (float32 DDC phase quantization)."""
+    from sondetpu.dsp.channelizer import bin_and_offset
+
+    assert bin_and_offset(191000.0, 48000.0, 8) == (4, -1000.0)
+    assert bin_and_offset(-191000.0, 48000.0, 8) == (4, 1000.0)
+    assert bin_and_offset(50000.0, 48000.0, 8) == (1, 2000.0)
+    assert bin_and_offset(-93000.0, 48000.0, 8) == (6, 3000.0)
+
+
+def test_autofleet_checkpoint_roundtrip(tmp_path):
+    from sondetpu.runtime import checkpoint as ckpt
+
+    n_blocks = 5
+    wide = np.zeros(n_blocks * W, np.complex64)
+    rs = _rs41_sig(10)
+    wide[:min(rs.size, wide.size)] += rs[:wide.size]
+
+    auto = AutoFleet(n_bins=N_BINS, rescan_blocks=2, probe_blocks=2,
+                     families=["rs41"], min_snr_db=8.0)
+    for b in range(3):
+        auto.process_wideband(wide[b * W:(b + 1) * W])
+    assert len(auto.tracked) == 1
+    path = tmp_path / "auto.ckpt"
+    ckpt.save_autofleet(auto, str(path))
+
+    auto2 = AutoFleet(n_bins=N_BINS, rescan_blocks=2, probe_blocks=2,
+                      families=["rs41"], min_snr_db=8.0)
+    ckpt.load_autofleet(auto2, str(path))
+    assert len(auto2.tracked) == 1
+    assert auto2.telemetry[0][1].serial == "S1234567"
+    for auto_x in (auto, auto2):
+        for b in range(3, n_blocks):
+            auto_x.process_wideband(wide[b * W:(b + 1) * W])
+    assert auto.telemetry[0][1].seq == auto2.telemetry[0][1].seq
+
+
+def test_autofleet_failed_classification_not_reprobed(monkeypatch):
+    """A strong unclassifiable emitter (interference) is probed once and
+    then remembered — classify_carriers is NOT re-run every rescan (each
+    run would recompile probe pipelines inside the ingest loop)."""
+    import sondetpu.runtime.autofleet as af
+
+    # an emission the probe set cannot decode: an RS41 carrier while only
+    # the m10 family is allowed
+    tone = np.zeros(6 * W, np.complex64)
+    rs = _rs41_sig(14)
+    tone[:min(rs.size, tone.size)] += rs[:tone.size]
+
+    calls = []
+    real = af.classify_carriers
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(af, "classify_carriers", counting)
+    auto = AutoFleet(n_bins=N_BINS, rescan_blocks=2, probe_blocks=1,
+                     families=["m10"], min_snr_db=8.0)
+    for b in range(6):
+        auto.process_wideband(tone[b * W:(b + 1) * W])
+    assert auto.tracked == []
+    assert len(calls) == 1         # probed once, then cached as failed
