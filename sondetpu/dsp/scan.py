@@ -128,18 +128,36 @@ def detect_carriers(iq: np.ndarray, fs_wide: float, nfft: int = 4096,
         prev = i
     runs.append((start, prev + 1))
 
+    # the spectrum is circular: a carrier near +/-fs/2 has energy on both
+    # edges of the fftshifted PSD — merge edge runs across the wrap so a
+    # near-Nyquist sonde is ONE carrier, not a main lobe plus an alias tail
+    wrap = (len(runs) >= 2 and runs[0][0] <= gap
+            and (nfft - runs[-1][1]) <= gap)
     out: List[Carrier] = []
-    for a, b in runs:
+    for ri, (a, b) in enumerate(runs):
+        if wrap and ri == len(runs) - 1:
+            continue                       # consumed by the first run below
         p = np.clip(psd[a:b] - floor, 0.0, None)
         f = bins[a:b].astype(np.float64)
+        width = b - a
+        pk = float(psd[a:b].max())
+        if wrap and ri == 0:
+            a2, b2 = runs[-1]
+            # unwrap the top-edge run below -fs/2 so the centroid is right
+            p = np.concatenate([np.clip(psd[a2:b2] - floor, 0.0, None), p])
+            f = np.concatenate([bins[a2:b2].astype(np.float64) - nfft, f])
+            width += b2 - a2
+            pk = max(pk, float(psd[a2:b2].max()))
         tot = float(p.sum())
         if tot <= 0.0:
             continue
         center = float((f * p).sum() / tot) * hz_per_bin
-        bw = (b - a) * hz_per_bin
+        # wrap the centroid back into [-fs/2, fs/2)
+        center = (center + fs_wide / 2.0) % fs_wide - fs_wide / 2.0
+        bw = width * hz_per_bin
         if bw < min_bw_hz:
             continue
-        snr = 10.0 * np.log10(float(psd[a:b].max()) / max(floor, 1e-30))
+        snr = 10.0 * np.log10(pk / max(floor, 1e-30))
         out.append(Carrier(center_hz=center, bw_hz=bw, snr_db=snr, power=tot))
     out.sort(key=lambda c: -c.power)
     return out[:max_carriers]

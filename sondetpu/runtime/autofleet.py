@@ -92,14 +92,20 @@ class AutoFleet:
         if self.on_update is not None:
             self.on_update(ch, sonde, telem)
 
+    def _wrap_df(self, a: float, b: float) -> float:
+        """Circular frequency distance (the wideband spectrum wraps at
+        +/-fs_wide/2; a near-Nyquist carrier and its alias are the same)."""
+        fs = self.fs_wide
+        return abs((a - b + fs / 2.0) % fs - fs / 2.0)
+
     def _known(self, center_hz: float) -> bool:
-        return any(abs(t.center_hz - center_hz) < 0.25 * self.fs_chan
+        return any(self._wrap_df(t.center_hz, center_hz) < 0.25 * self.fs_chan
                    for t in self.tracked)
 
     def _recently_failed(self, center_hz: float) -> bool:
         self._failed = [(f, b) for f, b in self._failed
                         if self.blocks_seen - b <= self.retry_failed_blocks]
-        return any(abs(f - center_hz) < 0.25 * self.fs_chan
+        return any(self._wrap_df(f, center_hz) < 0.25 * self.fs_chan
                    for f, _ in self._failed)
 
     def _rebuild(self) -> None:

@@ -173,3 +173,33 @@ def test_autofleet_failed_classification_not_reprobed(monkeypatch):
         auto.process_wideband(tone[b * W:(b + 1) * W])
     assert auto.tracked == []
     assert len(calls) == 1         # probed once, then cached as failed
+
+
+def test_autofleet_multi_carrier_groups():
+    """Three carriers (two RS41s + an M10) discovered in one scan form a
+    2-channel rs41 group and a 1-channel m10 group, all decoding."""
+    n_blocks = 6
+    wide = np.zeros(n_blocks * W, np.complex64)
+    rs_a = _rs41_sig(10)                      # bin 1
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+    mod = RS41Modulator()
+    bits = mod.frames_to_bits(np.stack(
+        [mod.build_frame(RS41Truth(frame_no=90 + i)) for i in range(10)]))
+    rs_b = freq_shift(gfsk_modulate(bits, FS_WIDE / 4800.0, 2400.0 / FS_WIDE),
+                      (-2 * FS_CHAN + 3000.0) / FS_WIDE)  # bin -2, +3 kHz off
+    m10 = _m10_sig(40)
+    for sig in (rs_a, rs_b, m10):
+        wide[:min(sig.size, wide.size)] += sig[:wide.size]
+
+    auto = AutoFleet(n_bins=N_BINS, rescan_blocks=3, probe_blocks=2,
+                     families=["rs41", "m10"], min_snr_db=8.0)
+    for b in range(n_blocks):
+        auto.process_wideband(wide[b * W:(b + 1) * W])
+
+    kinds = sorted(t.sonde for t in auto.tracked)
+    assert kinds == ["m10", "rs41", "rs41"]
+    idxs, rs41_sess = auto.fleet.groups["rs41"]
+    assert rs41_sess.config.channels == 2
+    seqs = {t.telem.seq for t in auto.tracked
+            if t.sonde == "rs41" and t.telem is not None}
+    assert len(seqs) == 2          # both RS41s decode independently
