@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,7 +29,7 @@ def main():
     import jax
     # persistent compile cache: repeated bench runs (and the driver's
     # end-of-round run) skip the minutes-long remote compile
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
@@ -39,7 +40,6 @@ def main():
     block_len = 48000 * block_secs   # multi-second blocks amortize the
     fs = 48000.0                     # RTT-dominated dispatch + readback
 
-    import os
     use_pallas = bool(int(os.environ.get("SONDETPU_PALLAS", "0")))
     cdt = "bf16" if int(os.environ.get("SONDETPU_BF16", "0")) else "f32"
     cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=block_len,

@@ -108,10 +108,8 @@ def cmd_decode(args) -> int:
 
     on_update, sinks = _make_sinks(args, cfg.sonde)
     # device-dequant ingest: raw integer planes for cs16/cs8 sources
-    fmt = args.format
-    if fmt is None:
-        ext = os.path.splitext(args.iq)[1].lstrip(".").lower()
-        fmt = {"raw": "cf32"}.get(ext, ext)
+    from sondetpu.io.iq import infer_format
+    fmt = infer_format(args.iq, args.format)
     int_ingest = cfg.device_dequant and fmt in ("cs16", "cs8")
     pcfg = PipelineConfig(sonde=cfg.sonde, channels=cfg.channels, fs=cfg.fs,
                           block_len=cfg.block_len,
@@ -206,6 +204,7 @@ def _decode_wideband(args, cfg) -> int:
     fleet = FleetSession(
         chans, n_bins=n_bins, fs_chan=fs_chan, block_len=cfg.block_len,
         sync_threshold=cfg.sync_threshold, use_pallas=cfg.use_pallas,
+        compute_dtype=cfg.compute_dtype,
         afc=args.afc or cfg.afc, on_update=fleet_update)
     if args.resume:
         from sondetpu.runtime import checkpoint as ckpt
@@ -340,9 +339,14 @@ def cmd_scan(args) -> int:
             return 2
     if args.classify:
         probe = iq[: int(args.probe_secs * args.fs_wide)]
-        carriers = classify_carriers(probe, args.fs_wide, carriers,
-                                     families=fams,
-                                     sync_threshold=args.sync_threshold)
+        try:
+            carriers = classify_carriers(probe, args.fs_wide, carriers,
+                                         families=fams,
+                                         sync_threshold=args.sync_threshold)
+        except ValueError as e:
+            # e.g. capture shorter than one probe block, or fs_wide not a
+            # 48 kHz multiple: still report the detected carriers
+            print(f"classification skipped: {e}", file=sys.stderr)
     for c in carriers:
         typ = c.sonde or "?"
         extra = f" frames={c.frames}" if c.sonde else ""

@@ -15,9 +15,9 @@ automates both steps TPU-natively:
 3. :func:`classify_carriers` — channelize ONCE with the PFB, then run
    every candidate channel through each registered family's compiled
    decode probe as a batch; a family claims a carrier when its frames
-   actually parse (sync + FEC + CRC all pass), tie-broken by decoded
-   count then chip quality.  This is the combobox step, done by decoding
-   rather than guessing.
+   actually parse (sync + FEC + CRC all pass), the highest decoded count
+   winning (ties go to the earlier registry entry).  This is the combobox
+   step, done by decoding rather than guessing.
 
 The result plugs straight into the wideband fleet: :func:`scan_to_config`
 emits the ``channel_map`` consumed by ``decode --wideband``.

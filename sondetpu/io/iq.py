@@ -121,15 +121,23 @@ def interleaved_to_int_planes(raw: np.ndarray, fmt: str):
             np.ascontiguousarray(pair[:, 1]), dt)
 
 
+def infer_format(path: str, fmt: Optional[str] = None) -> str:
+    """IQ sample format from an explicit override or the file extension
+    (.cf32/.cs16/.cs8/.cu8/.wav; .raw aliases cf32). The ONE place this
+    inference lives — sources and the CLI must agree on it."""
+    if fmt is not None:
+        return fmt
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    return {"wav": "wav", "raw": "cf32"}.get(ext, ext)
+
+
 def iq_from_file(path: str, fmt: Optional[str] = None) -> np.ndarray:
     """Read a whole IQ file into a complex64 array.
 
     ``fmt`` is inferred from the extension when not given (.cf32/.cs16/.cs8/
     .cu8/.wav). WAV files must be 2-channel (I, Q).
     """
-    if fmt is None:
-        ext = os.path.splitext(path)[1].lstrip(".").lower()
-        fmt = {"wav": "wav", "raw": "cf32"}.get(ext, ext)
+    fmt = infer_format(path, fmt)
     if fmt == "wav":
         return _read_wav_iq(path)
     if fmt not in _FORMATS:
@@ -233,9 +241,7 @@ class StreamingIQSource:
 
     def __init__(self, path: str, block_len: int, fmt: Optional[str] = None,
                  depth: int = 4, raw_planes: bool = False):
-        if fmt is None:
-            ext = os.path.splitext(path)[1].lstrip(".").lower()
-            fmt = {"raw": "cf32"}.get(ext, ext)
+        fmt = infer_format(path, fmt)
         if fmt not in _FMT_CODES:
             raise ValueError(f"unsupported streaming IQ format {fmt!r} "
                              f"(have {sorted(_FMT_CODES)})")
@@ -348,9 +354,7 @@ class IntIQFileSource:
                  loop: bool = False):
         self.block_len = int(block_len)
         self.loop = loop
-        if fmt is None:
-            ext = os.path.splitext(path)[1].lstrip(".").lower()
-            fmt = {"raw": "cf32"}.get(ext, ext)
+        fmt = infer_format(path, fmt)
         dtype, _ = _FORMATS[fmt]
         raw = np.fromfile(path, dtype=dtype)
         self._pi, self._pq, self.input_dtype = \

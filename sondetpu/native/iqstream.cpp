@@ -199,6 +199,7 @@ void *iqs_open_raw(const char *path, int fmt, int64_t block_complex,
 // Raw-plane read: dst buffers hold block_complex int16/int8 elements.
 int64_t iqs_read_raw(void *h, void *dst_i, void *dst_q) {
   Stream *s = static_cast<Stream *>(h);
+  if (!s->raw_mode) return -1;  // opened with iqs_open: no integer planes
   std::unique_lock<std::mutex> lk(s->mu);
   s->cv_data.wait(lk, [&] { return s->slots[s->tail].ready || s->eof; });
   Slot &sl = s->slots[s->tail];
@@ -218,6 +219,7 @@ int64_t iqs_read_raw(void *h, void *dst_i, void *dst_q) {
 // past n_valid). Returns n_valid; 0 means end of stream.
 int64_t iqs_read(void *h, float *dst_i, float *dst_q) {
   Stream *s = static_cast<Stream *>(h);
+  if (s->raw_mode) return -1;  // opened with iqs_open_raw: no float planes
   std::unique_lock<std::mutex> lk(s->mu);
   s->cv_data.wait(lk, [&] { return s->slots[s->tail].ready || s->eof; });
   Slot &sl = s->slots[s->tail];

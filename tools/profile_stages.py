@@ -27,7 +27,7 @@ STAGES = ["chanfilt", "demod", "timing", "sample", "corr", "peaks",
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
