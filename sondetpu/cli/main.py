@@ -307,6 +307,15 @@ def cmd_fer(args) -> int:
     from sondetpu.bench.fer import fer_sweep
 
     snrs = [float(s) for s in args.snrs.split(",")]
+    if args.sonde == "all":
+        from sondetpu.sondes import SUPPORTED_TYPES
+        out = {}
+        for name in SUPPORTED_TYPES:
+            out[name] = fer_sweep(name, snrs, n_frames=args.frames,
+                                  seed=args.seed)
+            print(f"{name}: {out[name]}", file=sys.stderr)
+        print(json.dumps(out))
+        return 0
     result = fer_sweep(args.sonde, snrs, n_frames=args.frames, seed=args.seed)
     print(json.dumps(result))
     return 0
@@ -432,7 +441,9 @@ def build_parser() -> argparse.ArgumentParser:
     pd.set_defaults(fn=cmd_decode)
 
     pf = sub.add_parser("fer", help="frame-error-rate vs SNR sweep")
-    pf.add_argument("--sonde", default="rs41")
+    pf.add_argument("--sonde", default="rs41",
+                    help='family name, or "all" to sweep every registered '
+                         'family')
     pf.add_argument("--snrs", default="0,2,4,6,8,10,12,15,20")
     pf.add_argument("--frames", type=int, default=20)
     pf.add_argument("--seed", type=int, default=0)
