@@ -155,8 +155,15 @@ def cmd_decode(args) -> int:
         if args.table and sess.blocks_seen % args.table == 0:
             from sondetpu.io.table import CLEAR, render_table
             rows = {ch: (cfg.sonde, t) for ch, t in sess.telemetry.items()}
+            rms = sess.metrics.last_rms
+            qual = ({ch: float(rms[ch]) for ch in rows}
+                    if rms is not None else None)
+            freqs = sess.afc_freqs
+            afc = ({ch: float(freqs[ch]) for ch in rows}
+                   if freqs is not None else None)
             print(CLEAR + render_table(
-                rows, title=sess.metrics.status_line()), file=sys.stderr)
+                rows, title=sess.metrics.status_line(), quality=qual,
+                afc_hz=afc), file=sys.stderr)
         if args.watchdog:
             sess.watchdog(args.watchdog)
     if args.checkpoint:

@@ -24,6 +24,11 @@ _COLS = ("ch", "type", "serial", "frame", "time (UTC)", "latitude",
          "longitude", "alt m", "spd m/s", "hdg", "climb", "temp C",
          "RH %", "dew C", "P hPa", "aux")
 _WIDTHS = (4, 7, 10, 7, 19, 11, 11, 8, 8, 6, 7, 9, 8, 8, 8, 14)
+# optional trailing columns (rendered when the caller supplies the data):
+# chip-level signal quality and AFC-tracked carrier offset — receiver
+# health the reference surfaces via the waterfall, headless here
+_EXTRA_COLS = {"quality": ("sig", 6, lambda v: f"{v:.2f}"),
+               "afc_hz": ("afc Hz", 8, lambda v: f"{v:+.0f}")}
 
 
 def _utc(t: float) -> str:
@@ -38,12 +43,22 @@ def _latlon(v: float, pos: str, neg: str) -> str:
 
 
 def render_table(telemetry: Dict[int, Tuple[str, SondeTelemetry]],
-                 color: bool = True, title: Optional[str] = None) -> str:
-    """telemetry: {channel: (sonde_type, SondeTelemetry)} -> table string."""
+                 color: bool = True, title: Optional[str] = None,
+                 quality: Optional[Dict[int, float]] = None,
+                 afc_hz: Optional[Dict[int, float]] = None) -> str:
+    """telemetry: {channel: (sonde_type, SondeTelemetry)} -> table string.
+
+    ``quality`` (chip-level soft RMS) and ``afc_hz`` (tracked carrier
+    offset) add per-channel receiver-health columns when provided."""
+    extras = [(_EXTRA_COLS[name], data)
+              for name, data in (("quality", quality), ("afc_hz", afc_hz))
+              if data is not None]
+    cols = _COLS + tuple(e[0][0] for e in extras)
+    widths = _WIDTHS + tuple(e[0][1] for e in extras)
     lines = []
     if title:
         lines.append(title)
-    header = " ".join(f"{c:>{w}s}" for c, w in zip(_COLS, _WIDTHS))
+    header = " ".join(f"{c:>{w}s}" for c, w in zip(cols, widths))
     lines.append(header)
     lines.append("-" * len(header))
     for ch in sorted(telemetry):
@@ -62,9 +77,12 @@ def render_table(telemetry: Dict[int, Tuple[str, SondeTelemetry]],
             cal(f"{t.temp:.1f}"), cal(f"{t.rh:.0f}"), cal(f"{t.dewpt:.1f}"),
             f"{t.pressure:.1f}", (t.aux_data or "-") + pct,
         )
+        for (name, w, fmt), data in extras:
+            v = data.get(ch)
+            cells = cells + (fmt(v) if v is not None else "-",)
         # pad ignoring the ANSI escape bytes
         row = []
-        for cell, w in zip(cells, _WIDTHS):
+        for cell, w in zip(cells, widths):
             visible = cell.replace(_YELLOW, "").replace(_RESET, "")
             row.append(" " * max(w - len(visible), 0) + cell)
         lines.append(" ".join(row))

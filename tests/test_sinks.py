@@ -110,6 +110,13 @@ def test_table_render_uncal_styling():
     out = render_table({3: ("rs41", t)})
     assert "\x1b[33m" not in out and "(40%)" not in out
     assert "T1" in out and "350.0" in out
+    # optional receiver-health columns: chip quality and AFC offset
+    out = render_table({3: ("rs41", t)}, quality={3: 0.41},
+                       afc_hz={3: 1234.0})
+    assert "sig" in out and "0.41" in out
+    assert "afc Hz" in out and "+1234" in out
+    out = render_table({3: ("rs41", t)}, quality={})   # missing -> dash
+    assert "sig" in out
 
 
 def test_jsonl_sink(tmp_path):
