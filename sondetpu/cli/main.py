@@ -119,7 +119,13 @@ def cmd_decode(args) -> int:
                           afc=args.afc or cfg.afc,
                           input_dtype={"cs16": "i16", "cs8": "i8"}[fmt]
                           if int_ingest else "f32")
-    sess = DecoderSession(pcfg, on_update=on_update)
+    sess = DecoderSession(pcfg, on_update=on_update,
+                          host_workers=args.host_workers)
+    if args.trace:
+        # device-kernel tracing (SURVEY.md §5.1): Perfetto-viewable
+        import jax
+        jax.profiler.start_trace(args.trace)
+        print(f"profiler trace -> {args.trace}", file=sys.stderr)
     if args.resume:
         ckpt.load_session(sess, args.resume)
         print(f"resumed from {args.resume} at block {sess.blocks_seen}",
@@ -166,6 +172,9 @@ def cmd_decode(args) -> int:
                 afc_hz=afc), file=sys.stderr)
         if args.watchdog:
             sess.watchdog(args.watchdog)
+    if args.trace:
+        import jax
+        jax.profiler.stop_trace()
     if args.checkpoint:
         ckpt.save_session(sess, args.checkpoint)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
@@ -423,6 +432,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "N blocks (the reference GUI's table, headless)")
     pd.add_argument("--watchdog", type=int, default=0,
                     help="reset channels idle for N blocks")
+    pd.add_argument("--host-workers", type=int, default=0,
+                    help="thread-pool size for host FEC/parse (channel-"
+                         "aligned shards; 0 = single thread)")
+    pd.add_argument("--trace", default=None,
+                    help="write a jax.profiler trace to this directory")
     pd.add_argument("--afc", action="store_true",
                     help="track per-channel carrier drift (automatic "
                          "frequency control; GFSK/FSK families)")
