@@ -132,3 +132,27 @@ def test_cli_scan_writes_channel_map(tmp_path):
     entry = cfg["channel_map"][0]
     assert entry["sonde"] == "rs41"
     assert abs(entry["center_freq"] - 50000.0) < 1500.0
+
+
+def test_scan_classifies_afsk_family():
+    """AFSK families probe correctly through the fine-offset DDC (the AFSK
+    aux carry and the DDC phase share the state tuple): an iMet-4 at an
+    off-grid frequency is detected and claimed by imet4, not rs41."""
+    from sondetpu.sondes.imet4 import IMET4Modulator, IMET4Truth
+    from sondetpu.sondes.modulate import freq_shift
+
+    rng = np.random.default_rng(5)
+    n = 3 * 8 * 48000
+    mod = IMET4Modulator()
+    sig = mod.modulate([IMET4Truth(frame_no=20 + i) for i in range(40)],
+                       fs=FS_WIDE)
+    sig = freq_shift(sig, 50000.0 / FS_WIDE)      # bin 1 + 2 kHz offset
+    wide = _noise(n, rng, 0.02)
+    wide[:min(n, sig.size)] += sig[:n]
+
+    cars = detect_carriers(wide, FS_WIDE)
+    assert len(cars) == 1
+    cars = classify_carriers(wide, FS_WIDE, cars,
+                             families=["rs41", "imet4"])
+    assert cars[0].sonde == "imet4" and cars[0].frames >= 1
+    assert "rs41" not in cars[0].scores
