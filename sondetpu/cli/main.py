@@ -105,6 +105,23 @@ def cmd_decode(args) -> int:
         cfg.channels = args.channels
     if args.wideband or cfg.wideband or cfg.channel_map:
         return _decode_wideband(args, cfg)
+    if cfg.sonde == "auto":
+        # the reference's type combobox (main.cpp:136-151), automated:
+        # probe the first blocks of the channel with every family's
+        # compiled decoder, keep the one whose frames actually parse
+        if args.stream:
+            print("--sonde auto needs a seekable file (not --stream)",
+                  file=sys.stderr)
+            return 2
+        from sondetpu.io.iq import iq_from_file
+
+        probe = iq_from_file(args.iq, args.format)[:3 * cfg.block_len]
+        best = _autodetect_sonde(probe, cfg)
+        if best is None:
+            print("no family decodes this signal", file=sys.stderr)
+            return 1
+        print(f"[auto] detected {best}", file=sys.stderr)
+        cfg.sonde = best
 
     on_update, sinks = _make_sinks(args, cfg.sonde)
     # device-dequant ingest: raw integer planes for cs16/cs8 sources
@@ -183,6 +200,28 @@ def cmd_decode(args) -> int:
             w.deinit()
     print(sess.metrics.json_line(), file=sys.stderr)
     return 0
+
+
+def _autodetect_sonde(iq: np.ndarray, cfg, families=None):
+    """Probe a single channel's IQ with every registered family; return the
+    family with the most parsed telemetry updates (None if all score 0)."""
+    from sondetpu.runtime.pipeline import PipelineConfig
+    from sondetpu.runtime.session import DecoderSession
+    from sondetpu.sondes import SUPPORTED_TYPES
+
+    scores = {}
+    for fam in families or SUPPORTED_TYPES:
+        pcfg = PipelineConfig(sonde=fam, channels=1, fs=cfg.fs,
+                              block_len=cfg.block_len,
+                              sync_threshold=cfg.sync_threshold)
+        sess = DecoderSession(pcfg)
+        n = 0
+        for b in range(iq.size // cfg.block_len):
+            blk = iq[b * cfg.block_len:(b + 1) * cfg.block_len]
+            n += len(sess.process_block(blk[None, :]))
+        scores[fam] = n
+    best = max(scores, key=scores.get)
+    return best if scores[best] > 0 else None
 
 
 def _decode_wideband(args, cfg) -> int:
@@ -419,7 +458,9 @@ def build_parser() -> argparse.ArgumentParser:
     pd = sub.add_parser("decode", help="decode an IQ file")
     pd.add_argument("--iq", required=True)
     pd.add_argument("--format", default=None)
-    pd.add_argument("--sonde", default=None)
+    pd.add_argument("--sonde", default=None,
+                    help='family name, or "auto" to detect by probing the '
+                         "first blocks with every family")
     pd.add_argument("--channels", type=int, default=None)
     pd.add_argument("--config", default=None)
     pd.add_argument("--gpx", default=None)

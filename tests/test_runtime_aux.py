@@ -306,3 +306,21 @@ def test_checkpoint_resume_bf16_state(tmp_path):
     for i in range(0, iq2.size - 48000 + 1, 48000):
         sess2.process_block(iq2[None, i:i + 48000])
     assert sess2.frames_seen > before
+
+
+def test_cli_sonde_auto_detects_family(tmp_path):
+    """--sonde auto probes every family on the first blocks and picks the
+    one that parses (the reference's type combobox, main.cpp:136-151,
+    automated)."""
+    from sondetpu.cli.main import main
+
+    iq = tmp_path / "m.cf32"
+    rc = main(["synth", "--sonde", "m10", "--frames", "12", "--snr", "15",
+               "--out", str(iq)])
+    assert rc == 0
+    out = tmp_path / "o.jsonl"
+    rc = main(["decode", "--iq", str(iq), "--sonde", "auto",
+               "--jsonl", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()
+    assert lines and '"type": "m10"' in lines[-1]
