@@ -151,7 +151,29 @@ class AutoFleet:
         if self.on_change is not None:
             self.on_change(list(self.tracked))
 
+    def _refresh_centers(self) -> None:
+        """Fold each channel's AFC-tracked offset back into its tracked
+        center frequency, so a drifting transmitter keeps matching itself
+        in later scans instead of re-appearing as a 'new' carrier."""
+        if self.fleet is None or not self.afc:
+            return
+        from sondetpu.dsp.channelizer import bin_and_offset
+        for sonde, (idxs, sess) in self.fleet.groups.items():
+            freqs = sess.afc_freqs
+            if freqs is None:
+                continue
+            for local, fleet_ch in enumerate(idxs):
+                t = self.tracked[fleet_ch]
+                k, _ = bin_and_offset(t.center_hz, self.fs_chan, self.n_bins)
+                f_bin = (k if k < self.n_bins / 2 else k - self.n_bins) \
+                    * self.fs_chan
+                center = f_bin + float(freqs[local])
+                # wrap into [-fs_wide/2, fs_wide/2)
+                t.center_hz = ((center + self.fs_wide / 2.0) % self.fs_wide
+                               - self.fs_wide / 2.0)
+
     def _rescan(self) -> None:
+        self._refresh_centers()
         wide = np.concatenate(self._recent)
         carriers = detect_carriers(wide, self.fs_wide,
                                    min_snr_db=self.min_snr_db)

@@ -203,3 +203,24 @@ def test_autofleet_multi_carrier_groups():
     seqs = {t.telem.seq for t in auto.tracked
             if t.sonde == "rs41" and t.telem is not None}
     assert len(seqs) == 2          # both RS41s decode independently
+
+
+def test_autofleet_afc_refreshes_tracked_centers():
+    """With AFC on, a carrier's tracked center follows the measured offset
+    at each rescan, so a drifting sonde keeps matching itself instead of
+    being re-discovered as a new carrier."""
+    n_blocks = 8
+    wide = np.zeros(n_blocks * W, np.complex64)
+    sig = freq_shift(_rs41_sig(14), 3000.0 / FS_WIDE)   # bin 1 + 3 kHz
+    wide[:min(sig.size, wide.size)] += sig[:wide.size]
+
+    auto = AutoFleet(n_bins=N_BINS, rescan_blocks=2, probe_blocks=2,
+                     families=["rs41"], min_snr_db=8.0, afc=True)
+    for b in range(n_blocks):
+        auto.process_wideband(wide[b * W:(b + 1) * W])
+
+    assert len(auto.tracked) == 1                 # never duplicated
+    t = auto.tracked[0]
+    # refreshed center converged near the true 51 kHz carrier
+    assert abs(t.center_hz - 51000.0) < 1500.0
+    assert t.telem is not None and t.telem.serial == "S1234567"
