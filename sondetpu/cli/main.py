@@ -115,7 +115,7 @@ def cmd_decode(args) -> int:
             return 2
         from sondetpu.io.iq import iq_from_file
 
-        probe = iq_from_file(args.iq, args.format)[:3 * cfg.block_len]
+        probe = iq_from_file(args.iq, args.format, count=3 * cfg.block_len)
         best = _autodetect_sonde(probe, cfg)
         if best is None:
             print("no family decodes this signal", file=sys.stderr)
@@ -166,32 +166,36 @@ def cmd_decode(args) -> int:
         src_iter = ((np.ascontiguousarray(b.real, dtype=np.float32),
                      np.ascontiguousarray(b.imag, dtype=np.float32))
                     for b, _ in src.blocks())
-    for pi, pq in src_iter:
-        if cfg.channels > 1:
-            pi = np.tile(pi[None, :], (cfg.channels, 1))
-            pq = np.tile(pq[None, :], (cfg.channels, 1))
-        else:
-            pi, pq = pi[None, :], pq[None, :]
-        sess.process_block((pi, pq))
-        if args.status and sess.blocks_seen % args.status == 0:
-            print(sess.metrics.status_line(), file=sys.stderr)
-        if args.table and sess.blocks_seen % args.table == 0:
-            from sondetpu.io.table import CLEAR, render_table
-            rows = {ch: (cfg.sonde, t) for ch, t in sess.telemetry.items()}
-            rms = sess.metrics.last_rms
-            qual = ({ch: float(rms[ch]) for ch in rows}
-                    if rms is not None else None)
-            freqs = sess.afc_freqs
-            afc = ({ch: float(freqs[ch]) for ch in rows}
-                   if freqs is not None else None)
-            print(CLEAR + render_table(
-                rows, title=sess.metrics.status_line(), quality=qual,
-                afc_hz=afc), file=sys.stderr)
-        if args.watchdog:
-            sess.watchdog(args.watchdog)
-    if args.trace:
-        import jax
-        jax.profiler.stop_trace()
+    try:
+        for pi, pq in src_iter:
+            if cfg.channels > 1:
+                pi = np.tile(pi[None, :], (cfg.channels, 1))
+                pq = np.tile(pq[None, :], (cfg.channels, 1))
+            else:
+                pi, pq = pi[None, :], pq[None, :]
+            sess.process_block((pi, pq))
+            if args.status and sess.blocks_seen % args.status == 0:
+                print(sess.metrics.status_line(), file=sys.stderr)
+            if args.table and sess.blocks_seen % args.table == 0:
+                from sondetpu.io.table import CLEAR, render_table
+                rows = {ch: (cfg.sonde, t) for ch, t in sess.telemetry.items()}
+                rms = sess.metrics.last_rms
+                qual = ({ch: float(rms[ch]) for ch in rows}
+                        if rms is not None else None)
+                freqs = sess.afc_freqs
+                afc = ({ch: float(freqs[ch]) for ch in rows}
+                       if freqs is not None else None)
+                print(CLEAR + render_table(
+                    rows, title=sess.metrics.status_line(), quality=qual,
+                    afc_hz=afc), file=sys.stderr)
+            if args.watchdog:
+                sess.watchdog(args.watchdog)
+    finally:
+        # a --stream FIFO run normally ends via Ctrl-C: flush the trace
+        # (and keep it flushed on any other loop failure) regardless
+        if args.trace:
+            import jax
+            jax.profiler.stop_trace()
     if args.checkpoint:
         ckpt.save_session(sess, args.checkpoint)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)

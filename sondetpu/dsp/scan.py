@@ -131,8 +131,10 @@ def detect_carriers(iq: np.ndarray, fs_wide: float, nfft: int = 4096,
     # the spectrum is circular: a carrier near +/-fs/2 has energy on both
     # edges of the fftshifted PSD — merge edge runs across the wrap so a
     # near-Nyquist sonde is ONE carrier, not a main lobe plus an alias tail
-    wrap = (len(runs) >= 2 and runs[0][0] <= gap
-            and (nfft - runs[-1][1]) <= gap)
+    # (combined circular gap — each run being near ITS edge is not enough,
+    # or two carriers up to 2*merge_hz apart across the fold would merge)
+    wrap = (len(runs) >= 2
+            and runs[0][0] + (nfft - runs[-1][1]) <= gap)
     out: List[Carrier] = []
     for ri, (a, b) in enumerate(runs):
         if wrap and ri == len(runs) - 1:

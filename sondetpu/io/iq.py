@@ -131,19 +131,25 @@ def infer_format(path: str, fmt: Optional[str] = None) -> str:
     return {"wav": "wav", "raw": "cf32"}.get(ext, ext)
 
 
-def iq_from_file(path: str, fmt: Optional[str] = None) -> np.ndarray:
-    """Read a whole IQ file into a complex64 array.
+def iq_from_file(path: str, fmt: Optional[str] = None,
+                 count: Optional[int] = None) -> np.ndarray:
+    """Read an IQ file into a complex64 array.
 
     ``fmt`` is inferred from the extension when not given (.cf32/.cs16/.cs8/
-    .cu8/.wav). WAV files must be 2-channel (I, Q).
+    .cu8/.wav). WAV files must be 2-channel (I, Q). ``count`` limits the
+    read to the first N complex samples (probe reads skip the full-file
+    load; wav is read whole and sliced).
     """
     fmt = infer_format(path, fmt)
     if fmt == "wav":
-        return _read_wav_iq(path)
+        iq = _read_wav_iq(path)
+        return iq[:count] if count is not None else iq
     if fmt not in _FORMATS:
         raise ValueError(f"unknown IQ format {fmt!r} for {path}")
-    dtype, _ = _FORMATS[fmt]
-    raw = np.fromfile(path, dtype=dtype)
+    dtype, nbytes = _FORMATS[fmt]
+    items_per_complex = nbytes // np.dtype(dtype).itemsize
+    n_items = -1 if count is None else count * items_per_complex
+    raw = np.fromfile(path, dtype=dtype, count=n_items)
     if fmt in ("cf32", "cf64"):
         return raw.astype(np.complex64)
     return convert_to_c64(raw, fmt)

@@ -32,10 +32,17 @@ from sondetpu.telemetry import SondeTelemetry
 
 @dataclass
 class TrackedSonde:
-    """One discovered emitter being decoded."""
+    """One discovered emitter being decoded.
+
+    ``pfb_bin``/``seed_offset_hz`` are the carrier's IDENTITY in the fleet
+    (fixed at discovery — group layouts, state transplant, and checkpoints
+    compare against them); ``center_hz`` is the LIVE estimate, refreshed
+    from AFC each rescan so a drifting sonde keeps matching itself."""
 
     center_hz: float
     sonde: str
+    pfb_bin: int = -1
+    seed_offset_hz: float = 0.0
     last_update_block: int = 0
     found_block: int = 0
     telem: Optional[SondeTelemetry] = None   # last-known, survives rebuilds
@@ -114,12 +121,12 @@ class AutoFleet:
         old_groups = self.fleet.groups if self.fleet is not None else {}
         old_channels = (self.fleet.channels if self.fleet is not None else [])
 
-        from sondetpu.dsp.channelizer import bin_and_offset
-        chans = []
-        for t in self.tracked:
-            k, resid = bin_and_offset(t.center_hz, self.fs_chan, self.n_bins)
-            chans.append(FleetChannel(pfb_bin=k, sonde=t.sonde,
-                                      offset_hz=resid))
+        # layout comes from the fixed discovery-time identity, NOT the
+        # AFC-refreshed live center: state transplant and checkpoints
+        # compare channel layouts exactly
+        chans = [FleetChannel(pfb_bin=t.pfb_bin, sonde=t.sonde,
+                              offset_hz=t.seed_offset_hz)
+                 for t in self.tracked]
         if not chans:
             self.fleet = None
             if self.on_change is not None:
@@ -157,14 +164,13 @@ class AutoFleet:
         in later scans instead of re-appearing as a 'new' carrier."""
         if self.fleet is None or not self.afc:
             return
-        from sondetpu.dsp.channelizer import bin_and_offset
         for sonde, (idxs, sess) in self.fleet.groups.items():
             freqs = sess.afc_freqs
             if freqs is None:
                 continue
             for local, fleet_ch in enumerate(idxs):
                 t = self.tracked[fleet_ch]
-                k, _ = bin_and_offset(t.center_hz, self.fs_chan, self.n_bins)
+                k = t.pfb_bin                   # fixed discovery identity
                 f_bin = (k if k < self.n_bins / 2 else k - self.n_bins) \
                     * self.fs_chan
                 center = f_bin + float(freqs[local])
@@ -185,10 +191,14 @@ class AutoFleet:
                 wide, self.fs_wide, fresh, fs_chan=self.fs_chan,
                 block_len=self.block_len, families=self.families,
                 sync_threshold=self.sync_threshold)
+            from sondetpu.dsp.channelizer import bin_and_offset
             for c in fresh:
                 if c.sonde is not None:
+                    k, resid = bin_and_offset(c.center_hz, self.fs_chan,
+                                              self.n_bins)
                     self.tracked.append(TrackedSonde(
                         center_hz=c.center_hz, sonde=c.sonde,
+                        pfb_bin=k, seed_offset_hz=resid,
                         last_update_block=self.blocks_seen,
                         found_block=self.blocks_seen))
                     changed = True
@@ -217,9 +227,12 @@ class AutoFleet:
         if self.fleet is not None:
             updates = self.fleet.process_wideband(iq)
         self.blocks_seen += 1
-        # rescan on cadence, plus one early scan as soon as the probe
-        # buffer first fills (don't wait a whole cadence for first lock)
+        # rescan on cadence; while the fleet is EMPTY scan every block once
+        # the probe buffer fills (first acquisition should not wait out a
+        # cadence) — the failed-classification cache bounds the cost when
+        # the only emissions are unclassifiable
         if (self.blocks_seen % self.rescan_blocks == 0
-                or self.blocks_seen == self.probe_blocks):
+                or (self.fleet is None
+                    and len(self._recent) >= self.probe_blocks)):
             self._rescan()
         return updates

@@ -40,6 +40,11 @@ def _check_state_layout(saved, current, what: str) -> None:
             raise ValueError(
                 f"{what}: state leaf {i} shape {np.shape(s)} != "
                 f"{np.shape(c)} (config mismatch)")
+        s_dt, c_dt = np.asarray(s).dtype, np.asarray(c).dtype
+        if s_dt != c_dt:
+            raise ValueError(
+                f"{what}: state leaf {i} dtype {s_dt} != {c_dt} "
+                "(compute_dtype mismatch?)")
 
 
 def save_session(session, path: str) -> None:

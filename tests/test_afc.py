@@ -91,3 +91,18 @@ def test_checkpoint_rejects_afc_layout_mismatch(tmp_path):
     cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000, afc=True)
     with pytest.raises(ValueError, match="layout|mismatch"):
         ckpt.load_session(DecoderSession(cfg), str(path))
+
+
+def test_checkpoint_rejects_compute_dtype_mismatch(tmp_path):
+    from sondetpu.runtime import checkpoint as ckpt
+
+    sig = _drifting_rs41(n_frames=2, f0=0.0, f1=0.0)
+    cfg32 = PipelineConfig(sonde="rs41", channels=1, block_len=48000)
+    sess = DecoderSession(cfg32)
+    sess.process_block(sig[:48000][None, :])
+    path = tmp_path / "f32.ckpt"
+    ckpt.save_session(sess, str(path))
+    cfg16 = PipelineConfig(sonde="rs41", channels=1, block_len=48000,
+                           compute_dtype="bf16")
+    with pytest.raises(ValueError, match="dtype"):
+        ckpt.load_session(DecoderSession(cfg16), str(path))

@@ -224,3 +224,31 @@ def test_autofleet_afc_refreshes_tracked_centers():
     # refreshed center converged near the true 51 kHz carrier
     assert abs(t.center_hz - 51000.0) < 1500.0
     assert t.telem is not None and t.telem.serial == "S1234567"
+
+
+def test_autofleet_afc_checkpoint_roundtrip(tmp_path):
+    """An AFC autofleet checkpoint taken AFTER center refreshes (live
+    centers drifted from the seeded layout) still restores: group layout
+    identity is the discovery-time (bin, seed offset), not the live
+    center."""
+    from sondetpu.runtime import checkpoint as ckpt
+
+    n_blocks = 6
+    wide = np.zeros(n_blocks * W, np.complex64)
+    sig = freq_shift(_rs41_sig(12), 3000.0 / FS_WIDE)
+    wide[:min(sig.size, wide.size)] += sig[:wide.size]
+
+    auto = AutoFleet(n_bins=N_BINS, rescan_blocks=2, probe_blocks=2,
+                     families=["rs41"], min_snr_db=8.0, afc=True)
+    for b in range(4):
+        auto.process_wideband(wide[b * W:(b + 1) * W])
+    assert len(auto.tracked) == 1
+    path = tmp_path / "afc_auto.ckpt"
+    ckpt.save_autofleet(auto, str(path))
+
+    auto2 = AutoFleet(n_bins=N_BINS, rescan_blocks=2, probe_blocks=2,
+                      families=["rs41"], min_snr_db=8.0, afc=True)
+    ckpt.load_autofleet(auto2, str(path))
+    for b in range(4, n_blocks):
+        auto2.process_wideband(wide[b * W:(b + 1) * W])
+    assert auto2.telemetry[0][1].serial == "S1234567"

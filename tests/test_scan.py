@@ -156,3 +156,17 @@ def test_scan_classifies_afsk_family():
                              families=["rs41", "imet4"])
     assert cars[0].sonde == "imet4" and cars[0].frames >= 1
     assert "rs41" not in cars[0].scores
+
+
+def test_detect_carriers_edge_pair_not_merged():
+    """Two DISTINCT carriers near opposite Nyquist edges (circularly far
+    apart) must not be merged by the wrap handling."""
+    rng = np.random.default_rng(7)
+    n = 1 << 18
+    f1 = FS_WIDE / 2 - 3500.0
+    f2 = -FS_WIDE / 2 + 3500.0      # 7 kHz circular separation
+    x = _tone(n, f1 / FS_WIDE) + 0.7 * _tone(n, f2 / FS_WIDE) + _noise(n, rng)
+    cars = detect_carriers(x, FS_WIDE, min_bw_hz=0.0)
+    assert len(cars) == 2
+    got = sorted(c.center_hz for c in cars)
+    assert abs(got[0] - f2) < 1000.0 and abs(got[1] - f1) < 1000.0
