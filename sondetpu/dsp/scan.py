@@ -242,6 +242,10 @@ def classify_carriers(iq, fs_wide: float, carriers: Sequence[Carrier],
 
     for i, c in enumerate(carriers):
         c.scores = {f: int(counts[f][i]) for f in fams if counts[f][i] > 0}
+        # ties go to the earlier registry entry; measured on-air case:
+        # rs41x (the extended superset decoder) parses standard RS41 frames
+        # too, so a standard carrier ties rs41==rs41x and resolves to rs41,
+        # while a genuine extended carrier scores rs41x strictly higher
         best = max(fams, key=lambda f: counts[f][i])
         if counts[best][i] >= min_frames:
             c.sonde = best
