@@ -390,9 +390,13 @@ def cmd_scan(args) -> int:
     from sondetpu.cli.config import FrameworkConfig
 
     iq = iq_from_file(args.iq, args.format)
-    carriers = detect_carriers(iq, args.fs_wide, nfft=args.nfft,
-                               min_snr_db=args.min_snr,
-                               max_carriers=args.max_carriers)
+    try:
+        carriers = detect_carriers(iq, args.fs_wide, nfft=args.nfft,
+                                   min_snr_db=args.min_snr,
+                                   max_carriers=args.max_carriers)
+    except ValueError as e:        # e.g. capture shorter than nfft
+        print(f"scan failed: {e}", file=sys.stderr)
+        return 2
     if not carriers:
         print("no carriers above threshold", file=sys.stderr)
         return 1
