@@ -143,30 +143,31 @@ def cmd_decode(args) -> int:
         import jax
         jax.profiler.start_trace(args.trace)
         print(f"profiler trace -> {args.trace}", file=sys.stderr)
-    if args.resume:
-        ckpt.load_session(sess, args.resume)
-        print(f"resumed from {args.resume} at block {sess.blocks_seen}",
-              file=sys.stderr)
-
-    if args.stream:
-        # O(block)-memory path: the native reader thread prefetches and
-        # converts the next block while this one is on the device (works on
-        # FIFOs/pipes too, so a live SDR can feed the decoder). With
-        # device_dequant + cs16/cs8 the planes stay raw integers end to end.
-        from sondetpu.io.iq import StreamingIQSource
-        src_iter = ((pi, pq) for pi, pq, _ in StreamingIQSource(
-            args.iq, block_len=cfg.block_len, fmt=args.format,
-            raw_planes=int_ingest).blocks())
-    elif int_ingest:
-        from sondetpu.io.iq import IntIQFileSource
-        src = IntIQFileSource(args.iq, block_len=cfg.block_len, fmt=fmt)
-        src_iter = ((pi, pq) for pi, pq, _ in src.blocks())
-    else:
-        src = IQFileSource(args.iq, block_len=cfg.block_len, fmt=args.format)
-        src_iter = ((np.ascontiguousarray(b.real, dtype=np.float32),
-                     np.ascontiguousarray(b.imag, dtype=np.float32))
-                    for b, _ in src.blocks())
     try:
+        if args.resume:
+            ckpt.load_session(sess, args.resume)
+            print(f"resumed from {args.resume} at block {sess.blocks_seen}",
+                  file=sys.stderr)
+
+        if args.stream:
+            # O(block)-memory path: the native reader thread prefetches and
+            # converts the next block while this one is on the device (works
+            # on FIFOs/pipes too, so a live SDR can feed the decoder). With
+            # device_dequant + cs16/cs8 the planes stay raw integers.
+            from sondetpu.io.iq import StreamingIQSource
+            src_iter = ((pi, pq) for pi, pq, _ in StreamingIQSource(
+                args.iq, block_len=cfg.block_len, fmt=args.format,
+                raw_planes=int_ingest).blocks())
+        elif int_ingest:
+            from sondetpu.io.iq import IntIQFileSource
+            src = IntIQFileSource(args.iq, block_len=cfg.block_len, fmt=fmt)
+            src_iter = ((pi, pq) for pi, pq, _ in src.blocks())
+        else:
+            src = IQFileSource(args.iq, block_len=cfg.block_len,
+                               fmt=args.format)
+            src_iter = ((np.ascontiguousarray(b.real, dtype=np.float32),
+                         np.ascontiguousarray(b.imag, dtype=np.float32))
+                        for b, _ in src.blocks())
         for pi, pq in src_iter:
             if cfg.channels > 1:
                 pi = np.tile(pi[None, :], (cfg.channels, 1))
@@ -190,9 +191,13 @@ def cmd_decode(args) -> int:
                     afc_hz=afc), file=sys.stderr)
             if args.watchdog:
                 sess.watchdog(args.watchdog)
+    except KeyboardInterrupt:
+        # Ctrl-C is how a --stream FIFO run normally ends: fall through to
+        # the checkpoint save and sink teardown below
+        print("interrupted — finalizing", file=sys.stderr)
     finally:
-        # a --stream FIFO run normally ends via Ctrl-C: flush the trace
-        # (and keep it flushed on any other loop failure) regardless
+        # flush the trace regardless of how the run ended (incl. setup
+        # failures like a resume mismatch or a missing IQ file)
         if args.trace:
             import jax
             jax.profiler.stop_trace()

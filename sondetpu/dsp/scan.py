@@ -145,10 +145,11 @@ def detect_carriers(iq: np.ndarray, fs_wide: float, nfft: int = 4096,
         pk = float(psd[a:b].max())
         if wrap and ri == 0:
             a2, b2 = runs[-1]
-            # unwrap the top-edge run below -fs/2 so the centroid is right
+            # unwrap the top-edge run below -fs/2 so the centroid is right;
+            # span the circular gap like linear merging spans in-band gaps
             p = np.concatenate([np.clip(psd[a2:b2] - floor, 0.0, None), p])
             f = np.concatenate([bins[a2:b2].astype(np.float64) - nfft, f])
-            width += b2 - a2
+            width += (b2 - a2) + a + (nfft - b2)
             pk = max(pk, float(psd[a2:b2].max()))
         tot = float(p.sum())
         if tot <= 0.0:

@@ -123,7 +123,25 @@ class AutoFleet:
 
         # layout comes from the fixed discovery-time identity, NOT the
         # AFC-refreshed live center: state transplant and checkpoints
-        # compare channel layouts exactly
+        # compare channel layouts exactly. But a group whose MEMBERSHIP
+        # changed gets a fresh session anyway — re-seed its members'
+        # identities from the live (drift-corrected) centers first, so the
+        # new session starts tuned to where each carrier actually is now.
+        old_layouts = {
+            sonde: [(old_channels[j].pfb_bin, old_channels[j].offset_hz)
+                    for j in idxs]
+            for sonde, (idxs, _s) in old_groups.items()}
+        if self.fleet is not None:     # not on first build / checkpoint
+            members: Dict[str, List[TrackedSonde]] = {}
+            for t in self.tracked:
+                members.setdefault(t.sonde, []).append(t)
+            from sondetpu.dsp.channelizer import bin_and_offset
+            for sonde, ts in members.items():
+                layout = [(t.pfb_bin, t.seed_offset_hz) for t in ts]
+                if old_layouts.get(sonde) != layout:
+                    for t in ts:
+                        t.pfb_bin, t.seed_offset_hz = bin_and_offset(
+                            t.center_hz, self.fs_chan, self.n_bins)
         chans = [FleetChannel(pfb_bin=t.pfb_bin, sonde=t.sonde,
                               offset_hz=t.seed_offset_hz)
                  for t in self.tracked]

@@ -18,7 +18,8 @@ import pickle
 import numpy as np
 import jax
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2    # v2: TrackedSonde carries (pfb_bin, seed_offset_hz)
+                      # identity; fleet group payloads record layout
 
 
 def _to_host(tree):
