@@ -285,16 +285,22 @@ def _decode_wideband(args, cfg) -> int:
                     IQFileSource(args.iq, block_len=w, fmt=args.format).blocks())
     blocks = 0
     updates = 0
-    for block in blk_iter:
-        updates += fleet.process_wideband(block)
-        blocks += 1
-        if args.status and blocks % args.status == 0:
-            print(f"[wideband] blocks={blocks} updates={updates}", file=sys.stderr)
-        if args.table and blocks % args.table == 0:
-            from sondetpu.io.table import CLEAR, render_table
-            print(CLEAR + render_table(
-                latest, title=f"[wideband] blocks={blocks} updates={updates}"),
-                file=sys.stderr)
+    try:
+        for block in blk_iter:
+            updates += fleet.process_wideband(block)
+            blocks += 1
+            if args.status and blocks % args.status == 0:
+                print(f"[wideband] blocks={blocks} updates={updates}",
+                      file=sys.stderr)
+            if args.table and blocks % args.table == 0:
+                from sondetpu.io.table import CLEAR, render_table
+                print(CLEAR + render_table(
+                    latest, title=f"[wideband] blocks={blocks} updates={updates}"),
+                    file=sys.stderr)
+    except KeyboardInterrupt:
+        # Ctrl-C is how a --stream FIFO run normally ends: still save the
+        # checkpoint and deinit the sinks (GPX needs its closing tags)
+        print("interrupted — finalizing", file=sys.stderr)
     if args.checkpoint:
         from sondetpu.runtime import checkpoint as ckpt
         ckpt.save_fleet(fleet, args.checkpoint)
@@ -343,18 +349,22 @@ def _decode_wideband_auto(args, cfg, n_bins) -> int:
         blk_iter = (b for b, _ in
                     IQFileSource(args.iq, block_len=w, fmt=args.format).blocks())
     blocks = updates = 0
-    for block in blk_iter:
-        updates += auto.process_wideband(block)
-        blocks += 1
-        if args.status and blocks % args.status == 0:
-            print(f"[auto] blocks={blocks} updates={updates} "
-                  f"tracked={len(auto.tracked)}", file=sys.stderr)
-        if args.table and blocks % args.table == 0:
-            from sondetpu.io.table import CLEAR, render_table
-            print(CLEAR + render_table(
-                auto.telemetry,
-                title=f"[auto] blocks={blocks} tracked={len(auto.tracked)}"),
-                file=sys.stderr)
+    try:
+        for block in blk_iter:
+            updates += auto.process_wideband(block)
+            blocks += 1
+            if args.status and blocks % args.status == 0:
+                print(f"[auto] blocks={blocks} updates={updates} "
+                      f"tracked={len(auto.tracked)}", file=sys.stderr)
+            if args.table and blocks % args.table == 0:
+                from sondetpu.io.table import CLEAR, render_table
+                print(CLEAR + render_table(
+                    auto.telemetry,
+                    title=f"[auto] blocks={blocks} tracked={len(auto.tracked)}"),
+                    file=sys.stderr)
+    except KeyboardInterrupt:
+        # Ctrl-C ends a --stream FIFO run: still checkpoint + close sinks
+        print("interrupted — finalizing", file=sys.stderr)
     if args.checkpoint:
         from sondetpu.runtime import checkpoint as ckpt
         ckpt.save_autofleet(auto, args.checkpoint)

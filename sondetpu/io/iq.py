@@ -286,7 +286,13 @@ class StreamingIQSource:
                 pi = np.empty(self.block_len, dtype=dt)
                 pq = np.empty(self.block_len, dtype=dt)
                 n = lib.iqs_read_raw(h, pi.ctypes.data, pq.ctypes.data)
-                if n <= 0:
+                if n < 0:
+                    # native mode-mismatch guard (iqstream.cpp): a scaled-
+                    # float handle was passed to the raw reader — a caller
+                    # bug, not end-of-stream
+                    raise RuntimeError(
+                        "iqs_read_raw returned %d (handle/mode mismatch)" % n)
+                if n == 0:
                     return
                 yield pi, pq, int(n)
         finally:
@@ -319,7 +325,10 @@ class StreamingIQSource:
                 pi = np.empty(self.block_len, dtype=np.float32)
                 pq = np.empty(self.block_len, dtype=np.float32)
                 n = lib.iqs_read(h, pi.ctypes.data, pq.ctypes.data)
-                if n <= 0:
+                if n < 0:
+                    raise RuntimeError(
+                        "iqs_read returned %d (handle/mode mismatch)" % n)
+                if n == 0:
                     return
                 yield pi, pq, int(n)
         finally:

@@ -70,7 +70,10 @@ def load_session(session, path: str) -> None:
     matching config; raises on sonde/shape mismatch."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    if payload["version"] != FORMAT_VERSION:
+    # v1 single-session payloads are layout-identical to v2 (only the fleet/
+    # autofleet payloads gained fields in v2); _check_state_layout below
+    # guards real mismatches, so accept both.
+    if payload["version"] not in (1, FORMAT_VERSION):
         raise ValueError(f"checkpoint version {payload['version']} unsupported")
     for key in ("sonde", "channels", "block_len"):
         have = getattr(session.config, key)

@@ -499,12 +499,21 @@ class Pipeline:
                 audio = audio - dc[:, None]
             if c.afc:
                 # discriminator DC of 1.0 == spec.dev Hz of residual carrier
-                # offset (scale above); first-order loop with clamped output
+                # offset (scale above); first-order loop. The clamp bounds
+                # the DRIFT EXCURSION relative to each channel's SEED
+                # frequency, not the absolute DDC frequency: seeds come from
+                # bin_and_offset and are legitimately far beyond
+                # bandwidth/2, and clamping absolutely would yank any
+                # off-grid channel to +/-maxhz on the first block.
                 maxhz = np.float32(c.afc_max_hz if c.afc_max_hz is not None
                                    else c.spec.bandwidth / 2.0)
-                afc_freq = (jnp.clip(
+                f_seed = jnp.asarray(
+                    np.asarray(c.fine_offsets, np.float32)
+                    if c.fine_offsets is not None
+                    else np.zeros((c.channels,), np.float32))
+                afc_freq = (f_seed + jnp.clip(
                     freq_hz + np.float32(c.afc_beta) * dc
-                    * np.float32(self._dev), -maxhz, maxhz),)
+                    * np.float32(self._dev) - f_seed, -maxhz, maxhz),)
 
             if self._afsk:
                 # AFSK front end: dual-tone quadrature discriminator (S5/S6)

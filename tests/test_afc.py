@@ -78,6 +78,34 @@ def test_afc_seeded_by_fine_offsets():
     np.testing.assert_allclose(sess.afc_freqs, [1500.0, -800.0])
 
 
+def test_afc_holds_large_seed_offset():
+    """A channel seeded far off-grid (|offset| > bandwidth/2, as
+    bin_and_offset legitimately produces on the wideband path) must NOT be
+    yanked to the clamp: the AFC bounds the drift excursion RELATIVE to the
+    seed, so a 20 kHz-offset RS41 decodes as well with afc on as off."""
+    fs = 48000.0
+    off = 20000.0                      # >> bandwidth/2 = 5 kHz
+    mod = RS41Modulator()
+    iq = mod.modulate([RS41Truth(frame_no=i) for i in range(8)], fs=fs)
+    t = np.arange(iq.size)
+    sig = (iq * np.exp(2j * np.pi * off * t / fs)).astype(np.complex64)
+
+    def run(afc):
+        cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000,
+                             afc=afc, fine_offsets=(off,))
+        sess = DecoderSession(cfg)
+        for b in range(sig.size // 48000):
+            sess.process_block(sig[b * 48000:(b + 1) * 48000][None, :])
+        return sess
+
+    base = run(afc=False)
+    afc = run(afc=True)
+    assert base.metrics.frames_decoded >= 5
+    assert afc.metrics.frames_decoded >= base.metrics.frames_decoded - 1
+    # the tracked frequency stays near the seed, not pinned at bandwidth/2
+    assert abs(afc.afc_freqs[0] - off) < 2500.0
+
+
 def test_checkpoint_rejects_afc_layout_mismatch(tmp_path):
     """A checkpoint saved without afc cannot silently restore into an afc
     session (and vice versa) — the state layouts differ."""
