@@ -1,14 +1,18 @@
-"""Hamming(8,4) SECDED codec for the DFM family (SURVEY.md S2).
+"""Hamming(8,4) codec for the DFM family (SURVEY.md S2).
 
-GRAW DFM06/09 protect each 4-bit data nibble with an extended Hamming(8,4)
-code (BASELINE.json:9 "Hamming FEC"). Decode is a pure 256-entry syndrome
-lookup table — applied as one NumPy gather over all received bytes of all
-channels at once ("vectorized Hamming syndrome LUT", SURVEY.md S2).
+GRAW DFM06/09/17 protect each 4-bit data nibble with an (8,4) extended-
+Hamming-class code (BASELINE.json:9 "Hamming FEC"). The code here is the
+REAL on-air DFM code as established by the public decoder ecosystem
+(PROTOCOLS.md "dfm"): systematic, codeword bits
 
-Code construction (even parity, extended):
-    codeword bits [d3 d2 d1 d0 p2 p1 p0 pe]
-    p0 = d3^d2^d0, p1 = d3^d1^d0, p2 = d2^d1^d0, pe = overall parity.
-Single-bit errors are corrected; double-bit errors are detected (fail).
+    [m0 m1 m2 m3 p0 p1 p2 p3]        (m0 = MSB of the nibble)
+    p0 = m1^m2^m3   p1 = m0^m2^m3   p2 = m0^m1^m3   p3 = m0^m1^m2
+
+with minimum distance 4: single-bit errors correct, double-bit errors are
+detected (fail). Decode is a pure 256-entry syndrome lookup table — applied
+as one NumPy gather over all received codewords of all channels at once
+("vectorized Hamming syndrome LUT", SURVEY.md S2). Codewords are carried as
+bytes with the first transmitted bit in the MSB.
 """
 
 from __future__ import annotations
@@ -17,13 +21,13 @@ import numpy as np
 
 
 def _encode_nibble(d: int) -> int:
-    d3, d2, d1, d0 = (d >> 3) & 1, (d >> 2) & 1, (d >> 1) & 1, d & 1
-    p0 = d3 ^ d2 ^ d0
-    p1 = d3 ^ d1 ^ d0
-    p2 = d2 ^ d1 ^ d0
-    word = (d3 << 7) | (d2 << 6) | (d1 << 5) | (d0 << 4) | (p2 << 3) | (p1 << 2) | (p0 << 1)
-    pe = bin(word).count("1") & 1
-    return word | pe
+    m0, m1, m2, m3 = (d >> 3) & 1, (d >> 2) & 1, (d >> 1) & 1, d & 1
+    p0 = m1 ^ m2 ^ m3
+    p1 = m0 ^ m2 ^ m3
+    p2 = m0 ^ m1 ^ m3
+    p3 = m0 ^ m1 ^ m2
+    return (m0 << 7) | (m1 << 6) | (m2 << 5) | (m3 << 4) \
+        | (p0 << 3) | (p1 << 2) | (p2 << 1) | p3
 
 
 _ENC = np.array([_encode_nibble(d) for d in range(16)], dtype=np.uint8)
@@ -39,16 +43,12 @@ for _d in range(16):
         e = cw ^ (1 << _b)
         _DEC[e] = _d
         _OK[e] = True
-# double-bit errors: even overall parity but nonzero syndrome -> detectable.
-for _v in range(256):
-    if _OK[_v]:
-        continue
-    _DEC[_v] = 0
-    _OK[_v] = False
+# everything else (incl. all double-bit errors, distance >= 2 from every
+# codeword at d_min = 4) stays _OK = False: detected, not miscorrected.
 
 
 def hamming84_encode(nibbles: np.ndarray) -> np.ndarray:
-    """nibbles [... ] 0..15 -> codeword bytes."""
+    """nibbles [...] 0..15 -> codeword bytes (first tx bit in the MSB)."""
     return _ENC[np.asarray(nibbles, dtype=np.uint8) & 0x0F]
 
 

@@ -44,9 +44,7 @@ def test_mixed_fleet_wideband():
 
     dfm = DFMModulator()
     dfm_chips = dfm.frames_to_chips(np.stack(
-        [dfm.build_frame(DFMTruth(frame_no=2 + k), conf_channel=k % 3,
-                         dat_pair=((2 * k) % 6, (2 * k + 1) % 6))
-         for k in range(8)]))
+        [dfm.build_frame(DFMTruth(frame_no=2 + k), k) for k in range(8)]))
     sig_dfm = _narrowband_at_wideband(dfm_chips, 2500.0, 2500.0, fs_wide,
                                       centers[6])
 
@@ -64,7 +62,7 @@ def test_mixed_fleet_wideband():
     telem = fleet.telemetry
     assert 0 in telem and telem[0].serial == "S1234567"
     assert 1 in telem and telem[1].serial == "ME10A00001"
-    assert 2 in telem and telem[2].serial == "D1234567"
+    assert 2 in telem and telem[2].serial == "1234567"
     assert telem[0].lat == pytest.approx(45.0, abs=1e-4)
     assert telem[1].lat == pytest.approx(52.2, abs=1e-4)
     assert telem[2].lat == pytest.approx(47.0, abs=1e-4)

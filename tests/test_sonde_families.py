@@ -52,13 +52,29 @@ def test_dfm_end_to_end():
     sess = _run("dfm", iq)
     assert sess.frames_seen >= 8
     t = sess.telemetry[0]
-    assert t.serial == "D1234567"
+    assert t.serial == "1234567"        # DFM09-style chunked serial
     assert t.lat == pytest.approx(47.0, abs=1e-6)
     assert t.lon == pytest.approx(8.5, abs=1e-6)
     assert t.alt == pytest.approx(8000.0, abs=0.01)
     assert t.spd == pytest.approx(12.0, abs=0.01)
     assert t.temp == pytest.approx(-20.0, abs=0.05)
     assert np.isnan(t.rh) or t.rh == 0.0  # no RH on DFM (README.md:12)
+    assert sess.decoder.subtype(0) == "DFM09"
+
+
+def test_dfm_inverted_polarity_end_to_end():
+    """DFM06-style (opposite polarity) transmissions decode through the
+    |corr| sync match + complemented-frame parse (PROTOCOLS.md dfm)."""
+    from sondetpu.sondes.dfm import DFMModulator, DFMTruth
+
+    mod = DFMModulator()
+    truths = [DFMTruth(frame_no=3 + i) for i in range(8)]
+    iq = mod.modulate(truths, invert=True)
+    sess = _run("dfm", iq)
+    assert sess.frames_seen >= 6
+    t = sess.telemetry[0]
+    assert t.lat == pytest.approx(47.0, abs=1e-6)
+    assert t.alt == pytest.approx(8000.0, abs=0.01)
 
 
 def test_m10_end_to_end():
