@@ -1,29 +1,35 @@
-"""Meteomodem M10/M20 protocol: 9600 Bd biphase-M + checksum.
+"""Meteomodem M10/M20 protocol: 9600 cps biphase-mark + rolling checksum.
 
 Re-creates sondedump's M10 decoder capability (SURVEY.md S3; reference API
 decoder.hpp:11; 9600 Bd GFSK + Manchester/biphase deframe + checksum verify
 per BASELINE.json:8; 50 kHz channel bandwidth per main.hpp:48; M10 has RH,
 M20 does not, README.md:11,13).
 
-As implemented: 9600 chips/s biphase-mark (polarity-free deframe), 101-byte
-M10 frames / 70-byte M20 frames sharing a sync prefix; the publicly known
-M10 header bytes 0x64 0x9F 0x20 identify the M10 subtype, 0x45 0x20 the M20
-(rows verified against public decoder sources; field offsets below are this
-framework's definition, modulator/parser-consistent, to re-verify against
-recorded IQ per SURVEY.md §7). Checksum: the M10's rolling 16-bit checksum
-(public algorithm, see :func:`m10_checksum`).
+REAL on-air layout (public protocol; per-field provenance in PROTOCOLS.md
+"m10"). The gather window is [2 preamble-tail bytes 0xAA 0xAA][frame]:
 
-  M10 frame (101B): 0x00 2B sync 0xAA 0xAA; 0x02 0x64 0x9F 0x20 (type/len);
-    0x05 u32 tow_ms; 0x09 u16 week; 0x0B i32 lat 1e-6 deg; 0x0F i32 lon;
-    0x13 i32 alt cm; 0x17 3 x i16 vE,vN,vU cm/s; 0x1D u16 frame_no;
-    0x1F 12B serial ASCII; 0x2B u16 temp centi-C + 273.15 offset;
-    0x2D u16 rh centi-%; remainder spare; 0x63 u16 checksum.
-  M20 frame (70B): 0x00 2B sync 0xAA 0xAA; 0x02 0x45 0x20 (type/len);
-    same field layout through temp (0x2B); NO RH sensor (README.md:13);
-    0x44 u16 checksum over 0x02..0x43. Both subtypes decode on the same
-    "m10" channel — the gather window is 101 bytes and frames dispatch on
-    the type bytes (mirroring the reference's single M10/M20 entry,
-    main.hpp:48).
+  M10 frame (101 bytes, all multi-byte fields BIG-endian):
+    0x00  u8   0x64  (= 100, bytes following the length byte)
+    0x01  2B   0x9F 0x20 frame type (Trimble GPS variant)
+    0x04  3 x i16  vE, vN, vU  cm/s
+    0x0A  u32  GPS time of week, ms
+    0x0E  i32  latitude,  1e-6 deg
+    0x12  i32  longitude, 1e-6 deg
+    0x16  i32  altitude,  mm
+    0x20  u16  GPS week
+    0x49  u16  NTC ADC counts (Shibaura PB5-41E thermistor; PROTOCOLS.md)
+    0x54  u16  RH centi-% [framework field — real M10 RH calibration is
+               not publicly mapped; PROTOCOLS.md]
+    0x5D  5B   serial number bytes -> printed id "XNN-T-NNNNN"
+    0x63  u16  rolling checksum over bytes 0x00..0x62
+  M20 frame (70 bytes): 0x00 u8 0x45; 0x01 u8 0x20 type; checksum u16 over
+    0x00..0x43 at 0x44. Field offsets follow the M10 layout through 0x20
+    [framework — real M20 offsets differ and are not encoded here;
+    PROTOCOLS.md]. No RH sensor (README.md:13).
+
+Both subtypes decode on the same "m10" channel — the gather window is 103
+bytes and frames dispatch on the length/type bytes (mirroring the
+reference's single M10/M20 entry, main.hpp:48).
 """
 
 from __future__ import annotations
@@ -40,10 +46,10 @@ from sondetpu.sync.coding import np_bytes_to_bits
 from sondetpu.telemetry import Fields, TelemetryFragment
 
 CHIP_RATE = 9600.0
-FRAME_BYTES = 101
+M10_LEN = 101                 # 0x64 + 1
+M20_LEN = 70                  # 0x45 + 1
+FRAME_BYTES = 2 + M10_LEN     # window: preamble tail + longest frame
 SYNCWORD = bytes([0xAA, 0xAA, 0x64, 0x9F, 0x20])
-M10_TYPE = bytes([0x64, 0x9F, 0x20])
-M20_TYPE = bytes([0x45, 0x20])
 
 SPEC = ProtocolSpec(
     name="m10",
@@ -57,20 +63,21 @@ SPEC = ProtocolSpec(
     line_code="biphase_m",
     deviation=12000.0,
     extra={"abs_corr": True,     # biphase-M polarity ambiguity
-           # M20 subtype shares the channel but has its own sync bytes
+           # M20 subtype shares the channel but has its own length/type
            "alt_syncword": bytes([0xAA, 0xAA, 0x45, 0x20])},
 )
 
+# Shibaura PB5-41E NTC Steinhart-Hart (1/T = p0+p1*L+p2*L^2+p3*L^3, L=lnR)
+_P = (1.07303516e-3, 2.41296733e-4, 2.26744154e-6, 6.52855181e-8)
+_RS = 12.1e3                  # series resistor of the ADC divider
+
 
 def m10_checksum(data: np.ndarray) -> int:
-    """The M10's rolling 16-bit checksum.
+    """The M10/M20 rolling 16-bit checksum (public algorithm).
 
-    Per-byte update as publicly documented for the Meteomodem framing: the
-    byte is rotated and self-XORed, the low state byte feeds back through a
-    parity-tap permutation, the high state byte shifts down. Matches the
-    algorithm in public M10 decoders; verify against recorded IQ
-    (SURVEY.md §7).
-    """
+    Per-byte update: the byte is rotated and self-XORed, the low state byte
+    feeds back through a parity-tap permutation, the high state byte shifts
+    down (PROTOCOLS.md m10)."""
     c = 0
     for x in np.asarray(data, dtype=np.uint8):
         b = int(x)
@@ -87,6 +94,34 @@ def m10_checksum(data: np.ndarray) -> int:
     return c
 
 
+def ntc_temp(adc: int) -> float:
+    """Temperature (degC) from the 12-bit NTC ADC divider reading."""
+    adc = int(adc) & 0xFFF
+    if adc <= 0 or adc >= 4095:
+        return float("nan")
+    r = _RS * adc / (4096.0 - adc)
+    ln = np.log(r)
+    inv_t = _P[0] + _P[1] * ln + _P[2] * ln * ln + _P[3] * ln ** 3
+    return float(1.0 / inv_t - 273.15)
+
+
+def ntc_adc(temp_c: float) -> int:
+    """Inverse of ntc_temp (for the modulator)."""
+    target = 1.0 / (temp_c + 273.15)
+    roots = np.roots([_P[3], _P[2], _P[1], _P[0] - target])
+    real = [x.real for x in roots if abs(x.imag) < 1e-9 and 0.0 < x.real < 20.0]
+    r = float(np.exp(min(real, key=lambda x: abs(x - 9.5))))
+    return int(round(4096.0 * r / (_RS + r)))
+
+
+def m10_serial(b: np.ndarray) -> str:
+    """Printed-id reconstruction from the 5 serial bytes @0x5D
+    (public-partial, PROTOCOLS.md m10)."""
+    num = ((int(b[2]) << 16) | (int(b[3]) << 8) | int(b[4])) % 100000
+    return "%1X%02u-%1u-%05u" % (int(b[0]) >> 4, int(b[0]) & 0xF,
+                                 int(b[1]) & 0xF, num)
+
+
 class M10Decoder(SondeDecoderBase):
     spec = SPEC
 
@@ -98,18 +133,19 @@ class M10Decoder(SondeDecoderBase):
         frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
         out = []
         for fi in range(frames.shape[0]):
-            f = frames[fi]
+            w = frames[fi]
             ch = int(np.asarray(channels)[fi])
-            if f[0:2].tobytes() != b"\xaa\xaa":
+            if w[0:2].tobytes() != b"\xaa\xaa":
                 continue
-            if f[2:5].tobytes() == M10_TYPE:
-                want = struct.unpack("<H", f[0x63:0x65].tobytes())[0]
-                if m10_checksum(f[2:0x63]) != want:
+            f = w[2:]                          # the real frame
+            if f[0] == 0x64 and f[1] == 0x9F and f[2] == 0x20:
+                want = (int(f[0x63]) << 8) | int(f[0x64])
+                if m10_checksum(f[0:0x63]) != want:
                     continue
                 frag = self._parse(f, is_m20=False)
-            elif f[2:4].tobytes() == M20_TYPE:
-                want = struct.unpack("<H", f[0x44:0x46].tobytes())[0]
-                if m10_checksum(f[2:0x44]) != want:
+            elif f[0] == 0x45 and f[1] == 0x20:
+                want = (int(f[0x44]) << 8) | int(f[0x45])
+                if m10_checksum(f[0:0x44]) != want:
                     continue
                 frag = self._parse(f, is_m20=True)
             else:
@@ -120,38 +156,43 @@ class M10Decoder(SondeDecoderBase):
 
     def _parse(self, f: np.ndarray, is_m20: bool = False) -> TelemetryFragment:
         frag = TelemetryFragment()
-        tow_ms, = struct.unpack("<I", f[0x05:0x09].tobytes())
-        week, = struct.unpack("<H", f[0x09:0x0B].tobytes())
+        ve, vn, vu = struct.unpack(">hhh", f[0x04:0x0A].tobytes())
+        tow_ms, = struct.unpack(">I", f[0x0A:0x0E].tobytes())
+        lat, lon, alt_mm = struct.unpack(">iii", f[0x0E:0x1A].tobytes())
+        week, = struct.unpack(">H", f[0x20:0x22].tobytes())
         frag.time = float(geo.gps_time_to_utc(week, tow_ms / 1000.0))
         frag.fields |= Fields.TIME
-        lat, lon, alt_cm = struct.unpack("<iii", f[0x0B:0x17].tobytes())
-        ve, vn, vu = struct.unpack("<hhh", f[0x17:0x1D].tobytes())
+        frag.seq = int(tow_ms // 1000) & 0xFFFF      # no explicit counter
+        frag.fields |= Fields.SEQ
         if not (lat == 0 and lon == 0):
-            frag.lat, frag.lon, frag.alt = lat * 1e-6, lon * 1e-6, alt_cm / 100.0
-            spd, hdg, climb = geo.speed_heading_climb(ve / 100.0, vn / 100.0, vu / 100.0)
+            frag.lat, frag.lon, frag.alt = lat * 1e-6, lon * 1e-6, alt_mm / 1000.0
+            spd, hdg, climb = geo.speed_heading_climb(ve / 100.0, vn / 100.0,
+                                                      vu / 100.0)
             frag.speed, frag.heading, frag.climb = float(spd), float(hdg), float(climb)
             frag.fields |= Fields.POS | Fields.SPEED
-        frag.seq, = struct.unpack("<H", f[0x1D:0x1F].tobytes())
-        frag.fields |= Fields.SEQ
-        serial = f[0x1F:0x2B].tobytes().decode("ascii", errors="replace").strip("\x00 ")
-        if serial:
+        if is_m20:
+            frag.temp = float("nan")          # M20 layout: framework-only
+            frag.rh = float("nan")            # no RH on M20 (README.md:13)
+            frag.pressure = 0.0
+            frag.calib_percent = 100.0
+        else:
+            adc, = struct.unpack(">H", f[0x49:0x4B].tobytes())
+            frag.temp = ntc_temp(adc)
+            rh_raw, = struct.unpack(">H", f[0x54:0x56].tobytes())
+            frag.rh = rh_raw / 100.0          # M10 carries RH (README.md:11)
+            frag.pressure = 0.0
+            frag.calib_percent = 100.0        # no calibration accumulation
+            frag.fields |= Fields.PTU
+            serial = m10_serial(f[0x5D:0x62])
             frag.serial = serial
             frag.fields |= Fields.SERIAL
-        t_raw, = struct.unpack("<H", f[0x2B:0x2D].tobytes())
-        frag.temp = t_raw / 100.0 - 273.15
         if is_m20:
-            frag.rh = float("nan")            # M20 has no RH (README.md:13)
-        else:
-            rh_raw, = struct.unpack("<H", f[0x2D:0x2F].tobytes())
-            frag.rh = rh_raw / 100.0          # M10 carries RH (README.md:11)
-        frag.pressure = 0.0
-        frag.calib_percent = 100.0            # no calibration accumulation
-        frag.fields |= Fields.PTU
+            frag.fields |= Fields.PTU
         return frag
 
 
 class M10Truth:
-    def __init__(self, serial="ME10A00001", frame_no=1, lat=52.2, lon=21.0,
+    def __init__(self, serial="910-2-12345", frame_no=1, lat=52.2, lon=21.0,
                  alt=15000.0, ve=-4.0, vn=9.0, vu=5.0, temp=-55.0, rh=12.0,
                  time_utc=1.7e9, m20=False):
         self.serial, self.frame_no = serial, frame_no
@@ -160,56 +201,58 @@ class M10Truth:
         self.temp, self.rh, self.time_utc = temp, rh, time_utc
         self.m20 = m20
 
+    @property
+    def time_eff(self):
+        """Frames are distinguished by GPS time (M10 has no frame counter)."""
+        return self.time_utc + float(self.frame_no)
+
+
+def _serial_bytes(serial: str) -> np.ndarray:
+    """Inverse of m10_serial for the modulator ("XNN-T-NNNNN")."""
+    a, t, num = serial.split("-")
+    b = np.zeros(5, np.uint8)
+    b[0] = (int(a[0], 16) << 4) | int(a[1:])
+    b[1] = int(t) & 0xF
+    n = int(num)
+    b[2], b[3], b[4] = (n >> 16) & 0xFF, (n >> 8) & 0xFF, n & 0xFF
+    return b
+
 
 class M10Modulator:
     spec = SPEC
 
     def build_frame(self, t: M10Truth) -> np.ndarray:
+        """On-air window image: [0xAA 0xAA][frame], zero-padded to the
+        gather width so back-to-back frames keep fixed chip spacing."""
+        w = np.zeros(FRAME_BYTES, dtype=np.uint8)
+        w[0:2] = (0xAA, 0xAA)
+        f = w[2:]
+        week, tow = geo.utc_to_gps_time(t.time_eff)
         if t.m20:
-            return self._build_m20(t)
-        f = np.zeros(FRAME_BYTES, dtype=np.uint8)
-        f[0:2] = (0xAA, 0xAA)
-        f[2:5] = np.frombuffer(M10_TYPE, np.uint8)
-        f[0x05:0x09] = np.frombuffer(struct.pack(
-            "<I", int(round(geo.utc_to_gps_time(t.time_utc)[1] * 1000))), np.uint8)
-        f[0x09:0x0B] = np.frombuffer(struct.pack(
-            "<H", int(geo.utc_to_gps_time(t.time_utc)[0])), np.uint8)
-        f[0x0B:0x17] = np.frombuffer(struct.pack(
-            "<iii", int(round(t.lat * 1e6)), int(round(t.lon * 1e6)),
-            int(round(t.alt * 100))), np.uint8)
-        f[0x17:0x1D] = np.frombuffer(struct.pack(
-            "<hhh", int(round(t.ve * 100)), int(round(t.vn * 100)),
+            f[0], f[1] = 0x45, 0x20
+        else:
+            f[0], f[1], f[2] = 0x64, 0x9F, 0x20
+        f[0x04:0x0A] = np.frombuffer(struct.pack(
+            ">hhh", int(round(t.ve * 100)), int(round(t.vn * 100)),
             int(round(t.vu * 100))), np.uint8)
-        f[0x1D:0x1F] = np.frombuffer(struct.pack("<H", t.frame_no & 0xFFFF), np.uint8)
-        f[0x1F:0x2B] = np.frombuffer(t.serial.encode("ascii")[:12].ljust(12), np.uint8)
-        f[0x2B:0x2D] = np.frombuffer(struct.pack(
-            "<H", int(round((t.temp + 273.15) * 100))), np.uint8)
-        f[0x2D:0x2F] = np.frombuffer(struct.pack("<H", int(round(t.rh * 100))), np.uint8)
-        f[0x63:0x65] = np.frombuffer(struct.pack("<H", m10_checksum(f[2:0x63])), np.uint8)
-        return f
-
-    def _build_m20(self, t: M10Truth) -> np.ndarray:
-        """70-byte M20 frame, zero-padded to the 101-byte gather window so
-        back-to-back M20 frames keep a fixed chip spacing on air."""
-        f = np.zeros(FRAME_BYTES, dtype=np.uint8)
-        f[0:2] = (0xAA, 0xAA)
-        f[2:4] = np.frombuffer(M20_TYPE, np.uint8)
-        week, tow = geo.utc_to_gps_time(t.time_utc)
-        f[0x05:0x09] = np.frombuffer(struct.pack("<I", int(round(tow * 1000))), np.uint8)
-        f[0x09:0x0B] = np.frombuffer(struct.pack("<H", int(week)), np.uint8)
-        f[0x0B:0x17] = np.frombuffer(struct.pack(
-            "<iii", int(round(t.lat * 1e6)), int(round(t.lon * 1e6)),
-            int(round(t.alt * 100))), np.uint8)
-        f[0x17:0x1D] = np.frombuffer(struct.pack(
-            "<hhh", int(round(t.ve * 100)), int(round(t.vn * 100)),
-            int(round(t.vu * 100))), np.uint8)
-        f[0x1D:0x1F] = np.frombuffer(struct.pack("<H", t.frame_no & 0xFFFF), np.uint8)
-        f[0x1F:0x2B] = np.frombuffer(t.serial.encode("ascii")[:12].ljust(12), np.uint8)
-        f[0x2B:0x2D] = np.frombuffer(struct.pack(
-            "<H", int(round((t.temp + 273.15) * 100))), np.uint8)
-        f[0x44:0x46] = np.frombuffer(struct.pack(
-            "<H", m10_checksum(f[2:0x44])), np.uint8)
-        return f
+        f[0x0A:0x0E] = np.frombuffer(struct.pack(
+            ">I", int(round(tow * 1000))), np.uint8)
+        f[0x0E:0x1A] = np.frombuffer(struct.pack(
+            ">iii", int(round(t.lat * 1e6)), int(round(t.lon * 1e6)),
+            int(round(t.alt * 1000))), np.uint8)
+        f[0x20:0x22] = np.frombuffer(struct.pack(">H", int(week)), np.uint8)
+        if t.m20:
+            f[0x44:0x46] = np.frombuffer(struct.pack(
+                ">H", m10_checksum(f[0:0x44])), np.uint8)
+        else:
+            f[0x49:0x4B] = np.frombuffer(struct.pack(
+                ">H", ntc_adc(t.temp)), np.uint8)
+            f[0x54:0x56] = np.frombuffer(struct.pack(
+                ">H", int(round(t.rh * 100))), np.uint8)
+            f[0x5D:0x62] = _serial_bytes(t.serial)
+            f[0x63:0x65] = np.frombuffer(struct.pack(
+                ">H", m10_checksum(f[0:0x63])), np.uint8)
+        return w
 
     def frames_to_chips(self, frames: np.ndarray) -> np.ndarray:
         """Biphase-mark encode (continuous level across the whole stream)."""

@@ -62,7 +62,7 @@ def test_autofleet_discovers_and_grows():
     telem = auto.telemetry
     by_type = {s: t for _, (s, t) in telem.items()}
     assert by_type["rs41"].serial == "S1234567"
-    assert by_type["m10"].serial == "ME10A00001"
+    assert by_type["m10"].serial == "910-2-12345"
     # rs41 session survived the m10 rebuild: telemetry kept advancing, so
     # its last seq is near the final transmitted frame
     assert by_type["rs41"].seq >= 48

@@ -61,7 +61,7 @@ def test_mixed_fleet_wideband():
 
     telem = fleet.telemetry
     assert 0 in telem and telem[0].serial == "S1234567"
-    assert 1 in telem and telem[1].serial == "ME10A00001"
+    assert 1 in telem and telem[1].serial == "910-2-12345"
     assert 2 in telem and telem[2].serial == "1234567"
     assert telem[0].lat == pytest.approx(45.0, abs=1e-4)
     assert telem[1].lat == pytest.approx(52.2, abs=1e-4)
@@ -116,7 +116,7 @@ def test_mixed_fleet_sharded_over_mesh():
     for k in range(16):
         assert k in telem and telem[k].serial == "S1234567", k
         assert telem[k].lat == pytest.approx(45.0, abs=1e-4)
-    assert 16 in telem and telem[16].serial == "ME10A00001"
+    assert 16 in telem and telem[16].serial == "910-2-12345"
 
 
 def test_mixed_fleet_bf16_gates_afsk_groups():

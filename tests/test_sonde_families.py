@@ -86,10 +86,10 @@ def test_m10_end_to_end():
     sess = _run("m10", iq)
     assert sess.frames_seen >= 5
     t = sess.telemetry[0]
-    assert t.serial == "ME10A00001"
+    assert t.serial == "910-2-12345"
     assert t.lat == pytest.approx(52.2, abs=1e-5)
-    assert t.alt == pytest.approx(15000.0, abs=0.02)
-    assert t.temp == pytest.approx(-55.0, abs=0.02)
+    assert t.alt == pytest.approx(15000.0, abs=0.002)   # mm resolution
+    assert t.temp == pytest.approx(-55.0, abs=0.1)      # 12-bit NTC ADC
     assert t.rh == pytest.approx(12.0, abs=0.02)
     assert t.climb == pytest.approx(5.0, abs=0.02)
 
@@ -177,12 +177,15 @@ def test_m20_end_to_end():
     from sondetpu.sondes.m10 import M10Modulator, M10Truth
 
     mod = M10Modulator()
-    truths = [M10Truth(frame_no=30 + i, m20=True, serial="ME20B00007",
-                       temp=-48.0) for i in range(8)]
+    truths = [M10Truth(frame_no=30 + i, m20=True) for i in range(8)]
     iq = mod.modulate(truths)
     sess = _run("m10", iq)
     assert sess.frames_seen >= 5
     t = sess.telemetry[0]
-    assert t.serial == "ME20B00007"
-    assert t.temp == pytest.approx(-48.0, abs=0.02)
-    assert np.isnan(t.rh) or t.rh == 0.0    # no RH on M20
+    assert t.lat == pytest.approx(52.2, abs=1e-5)
+    assert t.alt == pytest.approx(15000.0, abs=0.002)
+    assert np.isnan(t.rh) or t.rh == 0.0    # no RH on M20 (README.md:13)
+    # M20 PTU/serial offsets are framework-only (PROTOCOLS.md m10): the
+    # decoder must not fabricate them
+    assert np.isnan(t.temp)
+    assert t.serial == ""
