@@ -46,7 +46,8 @@ def fer_sweep(sonde: str, snrs_db: Sequence[float], n_frames: int = 20,
     iq_clean = np.pad(iq_clean, (0, pad))
     spec = get_sonde(sonde)["spec"]
     chips_per_block = int(block_len / fs * spec.baud)
-    max_frames = max(4, chips_per_block // spec.chips_per_frame + 2)
+    mfc = spec.extra.get("min_frame_chips", spec.chips_per_frame)
+    max_frames = max(4, chips_per_block // mfc + 2)
 
     points: List[dict] = []
     rng = np.random.default_rng(seed)

@@ -141,14 +141,23 @@ class PipelineConfig:
         return self.spec.chips_per_frame
 
     @property
+    def min_frame_chips(self) -> int:
+        """Smallest on-air unit the sync can legitimately repeat at. For
+        most families this is the frame itself; packetized protocols whose
+        gather window is wider than the shortest packet (iMet-4) declare
+        extra['min_frame_chips'] so slot capacity and the peak-suppression
+        distance track real packet spacing."""
+        return int(self.spec.extra.get("min_frame_chips", self.frame_chips))
+
+    @property
     def k_slots(self) -> int:
         """Frame slots per channel per block. Frames are deduped on "end
-        lies in this block's new chips", so at most ceil(cpb/frame_chips)
+        lies in this block's new chips", so at most ceil(cpb/min_frame_chips)
         can complete per block; +1 margin for sync jitter. Sizing the slots
         to the block keeps the (RTT-dominated) host readback minimal."""
         if self.max_frames is not None:
             return self.max_frames
-        return int(np.ceil(self.chips_per_block / self.frame_chips)) + 1
+        return int(np.ceil(self.chips_per_block / self.min_frame_chips)) + 1
 
     @property
     def buf_len(self) -> int:
@@ -243,8 +252,15 @@ class Pipeline:
         self._chan_taps = design_lowpass(
             min(spec.bandwidth / 2.0, 0.45 * c.fs_proc), c.fs, c.ntaps)
         self._template = spec.sync_chip_template()
+        alts = []
         alt = spec.extra.get("alt_syncword")
-        self._alt_template = spec.sync_chip_template(alt) if alt else None
+        if alt:
+            alts.append(spec.sync_chip_template(alt))
+        for b in spec.extra.get("alt_sync_bits", ()):
+            # non-byte-aligned alternates (e.g. iMet-4's per-packet-type
+            # async-serial headers); correlated alongside the main template
+            alts.append(spec.sync_chip_template(bits=np.asarray(b)))
+        self._alt_templates = alts
         self._fs = c.fs
         self._dev = spec.dev
         self._afsk = spec.modulation == "afsk"
@@ -564,17 +580,19 @@ class Pipeline:
         if c.spec.extra.get("abs_corr"):
             # biphase-M is polarity-ambiguous: match either polarity
             corr = jnp.abs(corr)
-        if self._alt_template is not None:
-            # subtype with a different syncword on the same channel (M20 on
-            # the M10/M20 entry): accept whichever template matches better
-            corr2 = correlate_syncword(chipbuf, self._alt_template)
+        for alt_t in self._alt_templates:
+            # subtype/packet-type with a different sync on the same channel
+            # (M20 on the M10/M20 entry, iMet-4 packet headers): accept
+            # whichever template matches best
+            corr2 = correlate_syncword(chipbuf, alt_t)
             if c.spec.extra.get("abs_corr"):
                 corr2 = jnp.abs(corr2)
             m = min(corr.shape[-1], corr2.shape[-1])
             corr = jnp.maximum(corr[:, :m], corr2[:, :m])
         if c.profile_stop == "corr":
             return jnp.sum(corr)
-        min_dist = max(self.config.frame_chips // 4, self._template.shape[0])
+        min_dist = max(self.config.min_frame_chips // 4,
+                       self._template.shape[0])
         starts, ok = find_frame_starts(corr, self.config.sync_threshold,
                                        c.k_slots, min_dist)
         if c.profile_stop == "peaks":

@@ -47,20 +47,28 @@ class ProtocolSpec:
         mult = 2 if self.line_code in ("manchester", "biphase_m") else 1
         return self.frame_bytes * 8 * mult
 
-    def sync_chip_template(self, syncword: "bytes | None" = None) -> "np.ndarray":
+    def sync_chip_template(self, syncword: "bytes | None" = None,
+                           bits: "np.ndarray | None" = None) -> "np.ndarray":
         """+/-1 chip-domain correlation template for the syncword.
 
         For line-coded protocols the template is the chip expansion of the
         sync bytes; biphase-M is polarity-ambiguous (level-dependent), so
         its users also set extra['abs_corr'] and the correlator thresholds
         on |corr|. Pass ``syncword`` to build the template of a subtype's
-        alternate sync (extra['alt_syncword'], e.g. M20 on the M10 channel).
+        alternate sync (extra['alt_syncword'], e.g. M20 on the M10 channel),
+        or ``bits`` for a raw on-air bit pattern that is not byte-aligned
+        (extra['sync_bits'], e.g. iMet-4's async-serial packet headers).
         """
         from sondetpu.sync.coding import np_bytes_to_bits
 
-        bits = np_bytes_to_bits(
-            np.frombuffer(syncword or self.syncword, dtype=np.uint8),
-            self.lsb_first)
+        if bits is None and syncword is None:
+            bits = self.extra.get("sync_bits")
+        if bits is not None:
+            bits = np.asarray(bits, dtype=np.float32)
+        else:
+            bits = np_bytes_to_bits(
+                np.frombuffer(syncword or self.syncword, dtype=np.uint8),
+                self.lsb_first)
         if self.line_code == "manchester":
             chips = np.empty(bits.size * 2, dtype=np.float32)
             chips[0::2] = bits

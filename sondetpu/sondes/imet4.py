@@ -1,35 +1,47 @@
-"""InterMet iMet-1/4 protocol: AFSK packets + CRC16 + ozone XDATA.
+"""InterMet iMet-1/4 protocol: Bell-202 AFSK async packets + CRC16 + XDATA.
 
 Re-creates sondedump's iMet-4 decoder capability (SURVEY.md S5; reference
 API decoder.hpp:9; AFSK per BASELINE.json:10; 20 kHz channel per
 main.hpp:49; GPS+T+RH+XDATA ozone per README.md:16).
 
-Physical layer: Bell-202 AFSK over FM — 1200 Bd, mark 1200 Hz / space
-2200 Hz (the publicly documented iMet audio modem parameters); the device
-pipeline demodulates with the dual-tone quadrature discriminator front end
-(runtime/pipeline.py _afsk_frontend). Packet: SOH-framed, CRC16-CCITT
-(crc.py) over the body. Field offsets are this framework's definition
-(modulator/parser-consistent; re-verify on recorded IQ per SURVEY.md §7):
+REAL on-air layout (public protocol; provenance audit in PROTOCOLS.md
+"imet4"):
 
-  frame (48B): 0x00 2B sync 0x01 0x30 ('SOH 0'); 0x02 u16 frame_no;
-    0x04 u32 tow_ms; 0x08 u16 week; 0x0A i32 lat 1e-6; 0x0E i32 lon 1e-6;
-    0x12 i32 alt cm; 0x16 u16 temp cK; 0x18 u16 rh c%; 0x1A u16 pressure
-    dPa; 0x1C 8B serial; 0x24 u16 o3 centi-mPa; 0x26..0x2D spare;
-    0x2E u16 crc16-ccitt over bytes 0x02..0x2D.
+  physical: Bell-202 AFSK over FM — 1200 Bd, mark 1200 Hz / space 2200 Hz;
+    bytes are ASYNC SERIAL 8N1: start bit (0/space), 8 data bits LSB-first,
+    stop bit (1/mark); idle = mark. The device pipeline demodulates with
+    the dual-tone quadrature discriminator front end
+    (runtime/pipeline.py _afsk_frontend) and correlates the 20-bit UART
+    images of the three packet headers (SOH + type) as sync templates.
+  packets (all little-endian, each CRC16-CCITT-FALSE over the bytes from
+  the type byte through the payload, CRC stored LE):
+    PTU   (14B): 0x01 0x01 | pkt u16 | P u24 (hPa*100) | T i16 (0.01 C)
+                 | RH u16 (0.01 %) | batt u8 (0.1 V) | crc u16
+    GPS   (18B): 0x01 0x02 | lat f32 | lon f32 | alt u16 (m, +5000 offset)
+                 | nsat u8 | hh u8 | mm u8 | ss u8 | crc u16
+    XDATA (var): 0x01 0x03 | len u8 | ASCII payload | crc u16
+  XDATA ozone: ECC ozonesonde daisy-chain string "05" + instrument no. +
+    cell current (4 hex, nA) + pump temperature (4 hex, 0.01 K); O3 partial
+    pressure = 4.307e-3 * I_uA * Tp_K * t_pump with a nominal 28 s/100 ml
+    pump time (transmitted nowhere, assumed — PROTOCOLS.md).
 
-iMet frames carry no velocity; speed/heading/climb are not emitted (the
-reference's field-bitmask protocol makes that explicit, decoder.hpp:74-79).
+The gather window is 64 on-air bytes (640 bits) aligned at a packet SOH;
+the host parser UART-decodes the window and dispatches on the type byte,
+so PTU, GPS, and XDATA packets each arrive as their own telemetry
+fragment — the reference's field-bitmask merge protocol (decoder.hpp:64-99)
+reassembles them, exactly as it does for sondedump's iMet decoder. iMet
+packets carry no velocity (no DATA_SPEED, decoder.hpp:74-79) and no date
+(time is UTC seconds-of-day).
 """
 
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from sondetpu.fec.crc import crc16_ccitt
-from sondetpu.sondes import geo
 from sondetpu.sondes.base import ProtocolSpec, SondeDecoderBase, register_sonde
 from sondetpu.sondes.modulate import afsk_modulate
 from sondetpu.sync.coding import np_bytes_to_bits
@@ -37,8 +49,41 @@ from sondetpu.telemetry import Fields, TelemetryFragment
 
 BAUD = 1200.0
 F_MARK, F_SPACE = 1200.0, 2200.0      # Bell-202
-FRAME_BYTES = 48
-SYNCWORD = bytes([0x01, 0x30])
+SOH = 0x01
+PKT_PTU, PKT_GPS, PKT_XDATA = 0x01, 0x02, 0x03
+WINDOW_BYTES = 80                     # gather window: 640 bits = 64 UART bytes
+MIN_PACKET_BITS = 140                 # PTU: 14 bytes x 10 bits
+
+# ECC ozonesonde conversion (PROTOCOLS.md imet4): P_O3[mPa] =
+# 4.307e-3 * I_cell[uA] * T_pump[K] * t_pump[s], nominal pump time assumed
+O3_K, O3_TPUMP = 4.307e-3, 28.0
+
+
+def uart_bits(data: bytes) -> np.ndarray:
+    """Async 8N1 encode: [start=0, b0..b7 LSB-first, stop=1] per byte."""
+    out = np.empty(len(data) * 10, np.uint8)
+    for i, b in enumerate(data):
+        out[10 * i] = 0
+        for k in range(8):
+            out[10 * i + 1 + k] = (b >> k) & 1
+        out[10 * i + 9] = 1
+    return out
+
+
+def uart_decode(bits: np.ndarray) -> np.ndarray:
+    """Bits -> bytes; stops at the first framing error (idle mark)."""
+    n = bits.size // 10
+    out = []
+    for i in range(n):
+        w = bits[10 * i: 10 * i + 10]
+        if w[0] != 0 or w[9] != 1:
+            break
+        b = 0
+        for k in range(8):
+            b |= int(w[1 + k]) << k
+        out.append(b)
+    return np.asarray(out, np.uint8)
+
 
 SPEC = ProtocolSpec(
     name="imet4",
@@ -46,14 +91,33 @@ SPEC = ProtocolSpec(
     bandwidth=2e4,            # main.hpp:49
     baud=BAUD,
     modulation="afsk",
-    syncword=SYNCWORD,
-    lsb_first=False,
-    frame_bytes=FRAME_BYTES,
+    syncword=bytes([SOH, PKT_PTU]),   # informational; sync_bits rules
+    lsb_first=False,   # device byte packing order (UART order handled host-side)
+    frame_bytes=WINDOW_BYTES,
     line_code="nrz",
     deviation=3000.0,
     afsk_mark=F_MARK,
     afsk_space=F_SPACE,
+    extra={
+        # UART images of the packet headers are the sync templates
+        "sync_bits": uart_bits(bytes([SOH, PKT_PTU])),
+        "alt_sync_bits": (uart_bits(bytes([SOH, PKT_GPS])),
+                          uart_bits(bytes([SOH, PKT_XDATA]))),
+        "min_frame_chips": MIN_PACKET_BITS,
+    },
 )
+
+
+def parse_xdata_ozone(xdata: str) -> Optional[float]:
+    """ECC ozonesonde XDATA ("05" + instr + current + pump temp) -> mPa."""
+    if len(xdata) < 12 or xdata[0:2] != "05":
+        return None
+    try:
+        i_na = int(xdata[4:8], 16)            # cell current, nA
+        tp_ck = int(xdata[8:12], 16)          # pump temperature, 0.01 K
+    except ValueError:
+        return None
+    return O3_K * (i_na / 1000.0) * (tp_ck / 100.0) * O3_TPUMP
 
 
 class IMET4Decoder(SondeDecoderBase):
@@ -67,41 +131,74 @@ class IMET4Decoder(SondeDecoderBase):
         frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
         out = []
         for fi in range(frames.shape[0]):
-            f = frames[fi]
             ch = int(np.asarray(channels)[fi])
-            if f[0:2].tobytes() != SYNCWORD:
-                continue
-            want, = struct.unpack("<H", f[0x2E:0x30].tobytes())
-            if crc16_ccitt(f[0x02:0x2E].tobytes()) != want:
-                continue
-            frag = self._parse(f)
-            out.append((ch, frag))
+            # window bits -> async bytes (stops at the inter-packet idle)
+            bits = np_bytes_to_bits(frames[fi], lsb_first=False)
+            pkt = uart_decode(bits)
+            frag = self._parse_packet(pkt)
+            if frag is not None and frag.fields:
+                out.append((ch, frag))
         return out
 
-    def _parse(self, f: np.ndarray) -> TelemetryFragment:
+    def _parse_packet(self, p: np.ndarray) -> Optional[TelemetryFragment]:
+        if p.size < 4 or p[0] != SOH:
+            return None
+        if p[1] == PKT_PTU and p.size >= 14:
+            return self._check(p, 14, self._parse_ptu)
+        if p[1] == PKT_GPS and p.size >= 18:
+            return self._check(p, 18, self._parse_gps)
+        if p[1] == PKT_XDATA and p.size >= 6:
+            n = int(p[2])
+            if p.size >= 5 + n:
+                return self._check(p, 5 + n, self._parse_xdata)
+        return None
+
+    @staticmethod
+    def _check(p: np.ndarray, length: int, parser) -> Optional[TelemetryFragment]:
+        want, = struct.unpack("<H", p[length - 2:length].tobytes())
+        if crc16_ccitt(p[1:length - 2]) != want:
+            return None
+        return parser(p[:length])
+
+    @staticmethod
+    def _parse_ptu(p: np.ndarray) -> TelemetryFragment:
         frag = TelemetryFragment()
-        frag.seq, = struct.unpack("<H", f[0x02:0x04].tobytes())
+        frag.seq, = struct.unpack("<H", p[2:4].tobytes())
         frag.fields |= Fields.SEQ
-        tow_ms, week = struct.unpack("<IH", f[0x04:0x0A].tobytes())
-        frag.time = float(geo.gps_time_to_utc(week, tow_ms / 1000.0))
-        frag.fields |= Fields.TIME
-        lat, lon, alt_cm = struct.unpack("<iii", f[0x0A:0x16].tobytes())
-        if not (lat == 0 and lon == 0):
-            frag.lat, frag.lon, frag.alt = lat * 1e-6, lon * 1e-6, alt_cm / 100.0
-            frag.fields |= Fields.POS
-        t_raw, rh_raw, p_raw = struct.unpack("<HHH", f[0x16:0x1C].tobytes())
-        frag.temp = t_raw / 100.0 - 273.15
+        p_raw = int(p[4]) | (int(p[5]) << 8) | (int(p[6]) << 16)
+        t_raw, rh_raw = struct.unpack("<hH", p[7:11].tobytes())
+        frag.pressure = p_raw / 100.0         # real pressure sensor
+        frag.temp = t_raw / 100.0
         frag.rh = rh_raw / 100.0
-        frag.pressure = p_raw / 10.0          # iMet has a pressure sensor
         frag.calib_percent = 100.0
         frag.fields |= Fields.PTU
-        serial = f[0x1C:0x24].tobytes().decode("ascii", errors="replace").strip("\x00 ")
-        if serial:
-            frag.serial = serial
-            frag.fields |= Fields.SERIAL
-        o3_raw, = struct.unpack("<H", f[0x24:0x26].tobytes())
-        if o3_raw:
-            frag.o3_mpa = o3_raw / 100.0      # ozone XDATA (README.md:16)
+        return frag
+
+    @staticmethod
+    def _parse_gps(p: np.ndarray) -> TelemetryFragment:
+        frag = TelemetryFragment()
+        lat, lon = struct.unpack("<ff", p[2:10].tobytes())
+        alt_raw, = struct.unpack("<H", p[10:12].tobytes())
+        hh, mm, ss = int(p[13]), int(p[14]), int(p[15])
+        if not (lat == 0 and lon == 0):
+            frag.lat, frag.lon = float(lat), float(lon)
+            frag.alt = float(alt_raw) - 5000.0
+            frag.fields |= Fields.POS
+        frag.time = hh * 3600.0 + mm * 60.0 + ss   # UTC seconds-of-day
+        frag.fields |= Fields.TIME
+        # iMet serial is not transmitted; the conventional station id is
+        # derived host-side (frequency+time hash in the ecosystem). Use a
+        # stable placeholder per protocol.
+        return frag
+
+    @staticmethod
+    def _parse_xdata(p: np.ndarray) -> TelemetryFragment:
+        frag = TelemetryFragment()
+        n = int(p[2])
+        xdata = p[3:3 + n].tobytes().decode("ascii", errors="replace")
+        o3 = parse_xdata_ozone(xdata)
+        if o3 is not None:
+            frag.o3_mpa = o3
             frag.fields |= Fields.OZONE
         return frag
 
@@ -119,29 +216,54 @@ class IMET4Truth:
 class IMET4Modulator:
     spec = SPEC
 
-    def build_frame(self, t: IMET4Truth) -> np.ndarray:
-        f = np.zeros(FRAME_BYTES, dtype=np.uint8)
-        f[0:2] = np.frombuffer(SYNCWORD, np.uint8)
-        f[0x02:0x04] = np.frombuffer(struct.pack("<H", t.frame_no & 0xFFFF), np.uint8)
-        week, tow = geo.utc_to_gps_time(t.time_utc)
-        f[0x04:0x0A] = np.frombuffer(struct.pack(
-            "<IH", int(round(tow * 1000)), int(week)), np.uint8)
-        f[0x0A:0x16] = np.frombuffer(struct.pack(
-            "<iii", int(round(t.lat * 1e6)), int(round(t.lon * 1e6)),
-            int(round(t.alt * 100))), np.uint8)
-        f[0x16:0x1C] = np.frombuffer(struct.pack(
-            "<HHH", int(round((t.temp + 273.15) * 100)),
-            int(round(t.rh * 100)), int(round(t.pressure * 10))), np.uint8)
-        f[0x1C:0x24] = np.frombuffer(t.serial.encode("ascii")[:8].ljust(8), np.uint8)
-        f[0x24:0x26] = np.frombuffer(struct.pack(
-            "<H", int(round((t.o3_mpa or 0) * 100))), np.uint8)
-        f[0x2E:0x30] = np.frombuffer(struct.pack(
-            "<H", crc16_ccitt(f[0x02:0x2E].tobytes())), np.uint8)
-        return f
+    IDLE_BITS = 10            # inter-packet mark idle
+
+    def _crc_tail(self, body: bytes) -> bytes:
+        return body + struct.pack("<H", crc16_ccitt(body[1:]))
+
+    def build_ptu(self, t: IMET4Truth) -> bytes:
+        body = bytes([SOH, PKT_PTU]) + struct.pack(
+            "<H", t.frame_no & 0xFFFF)
+        p_raw = int(round(t.pressure * 100))
+        body += bytes([p_raw & 0xFF, (p_raw >> 8) & 0xFF, (p_raw >> 16) & 0xFF])
+        body += struct.pack("<hH", int(round(t.temp * 100)),
+                            int(round(t.rh * 100)))
+        body += bytes([36])               # battery 3.6 V
+        return self._crc_tail(body)
+
+    def build_gps(self, t: IMET4Truth) -> bytes:
+        sod = t.time_utc % 86400.0
+        hh, rem = divmod(int(sod), 3600)
+        mm, ss = divmod(rem, 60)
+        body = bytes([SOH, PKT_GPS]) + struct.pack(
+            "<ffHB", np.float32(t.lat), np.float32(t.lon),
+            int(round(t.alt + 5000.0)), 9) + bytes([hh, mm, ss])
+        return self._crc_tail(body)
+
+    def build_xdata(self, t: IMET4Truth) -> bytes:
+        tp_k = 300.0
+        i_ua = (t.o3_mpa or 0.0) / (O3_K * tp_k * O3_TPUMP)
+        x = "0501%04X%04X" % (int(round(i_ua * 1000)) & 0xFFFF,
+                              int(round(tp_k * 100)) & 0xFFFF)
+        body = bytes([SOH, PKT_XDATA, len(x)]) + x.encode("ascii")
+        return self._crc_tail(body)
+
+    def packets_to_bits(self, packets: List[bytes]) -> np.ndarray:
+        parts = []
+        for p in packets:
+            parts.append(uart_bits(p))
+            parts.append(np.ones(self.IDLE_BITS, np.uint8))   # mark idle
+        return np.concatenate(parts)
 
     def modulate(self, truths: List[IMET4Truth], fs: float = 48000.0) -> np.ndarray:
-        frames = np.stack([self.build_frame(t) for t in truths])
-        bits = np_bytes_to_bits(frames).reshape(-1)
+        """Per truth: PTU + GPS + XDATA packets, mark-idle separated (the
+        real iMet packet cadence)."""
+        packets: List[bytes] = []
+        for t in truths:
+            packets += [self.build_ptu(t), self.build_gps(t)]
+            if t.o3_mpa:
+                packets.append(self.build_xdata(t))
+        bits = self.packets_to_bits(packets)
         return afsk_modulate(bits, fs / BAUD, F_MARK, F_SPACE, fs,
                              deviation_norm=SPEC.dev / fs)
 

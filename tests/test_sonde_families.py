@@ -31,7 +31,8 @@ def _run(sonde, iq, block_len=48000, snr_db=None, seed=0, max_frames=None):
         # enough slots for the shortest frames of the family in one block
         spec = get_sonde(sonde)["spec"]
         chips_per_block = int(block_len / 48000.0 * spec.baud)
-        max_frames = max(4, chips_per_block // spec.chips_per_frame + 2)
+        mfc = spec.extra.get("min_frame_chips", spec.chips_per_frame)
+        max_frames = max(4, chips_per_block // mfc + 2)
     cfg = PipelineConfig(sonde=sonde, channels=1, block_len=block_len,
                          sync_threshold=0.55, max_frames=max_frames)
     sess = DecoderSession(cfg)
@@ -116,12 +117,17 @@ def test_imet4_end_to_end():
     truths = [IMET4Truth(frame_no=1 + i) for i in range(8)]
     iq = mod.modulate(truths)
     sess = _run("imet4", iq)
-    assert sess.frames_seen >= 5
+    assert sess.frames_seen >= 12       # separate PTU/GPS/XDATA packets
     t = sess.telemetry[0]
-    assert t.serial == "IMET4001"
+    assert t.serial == ""               # iMet transmits no serial (PROTOCOLS.md)
     assert t.lat == pytest.approx(40.0, abs=1e-5)
+    assert t.alt == pytest.approx(22000.0, abs=0.5)
+    assert t.temp == pytest.approx(-58.0, abs=0.01)
     assert t.pressure == pytest.approx(40.0, abs=0.1)   # real pressure sensor
-    assert t.aux_data == "O3=3.20mPa"                    # ozone XDATA
+    assert t.seq == 8                   # PTU packet counter
+    # ozone XDATA (ECC string): quantized by the 1 nA cell-current step
+    assert t.aux_data.startswith("O3=") and t.aux_data.endswith("mPa")
+    assert float(t.aux_data[3:-3]) == pytest.approx(3.2, abs=0.05)
 
 
 def test_c50_end_to_end():
