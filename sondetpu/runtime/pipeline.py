@@ -510,7 +510,17 @@ class Pipeline:
             dre = ii32 * pi_ + qq32 * pq_
             dim = qq32 * pi_ - ii32 * pq_
             audio = jnp.arctan2(dim, dre) * scale
-            dc = jnp.mean(audio, axis=-1)
+            if c.spec.extra.get("dc_mode") == "midpoint":
+                # robust two-level slicer reference: unwhitened-NRZ frames
+                # (ims100/mrzn1) carry a strong DATA dc (zero-byte runs), so
+                # the block mean lands off-center and flips isolated bits;
+                # the midpoint of the low/high FSK levels (10th/90th
+                # percentile) tracks only the carrier offset
+                lo = jnp.quantile(audio, 0.10, axis=-1)
+                hi = jnp.quantile(audio, 0.90, axis=-1)
+                dc = 0.5 * (lo + hi)
+            else:
+                dc = jnp.mean(audio, axis=-1)
             if c.dc_block:
                 audio = audio - dc[:, None]
             if c.afc:

@@ -42,6 +42,7 @@ SPEC = ProtocolSpec(
     frame_bytes=FRAME_BYTES,
     line_code="nrz",
     deviation=2400.0,
+    extra={"dc_mode": "midpoint"},   # unwhitened NRZ: data-dc-immune slicer
 )
 
 
