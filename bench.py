@@ -25,6 +25,89 @@ import time
 import numpy as np
 
 
+def bench_fleet():
+    """Mixed-fleet wideband benchmark (BASELINE.json configs[5]: "1000+
+    heterogeneous channels"): one PFB channelizer + three per-type batched
+    pipelines (rs41/m10/dfm) over a device-resident wideband block.
+    Measures the sustained device rate of the full fleet step — PFB,
+    per-group bin gathers, and every group's decode front end — with the
+    per-group packed readbacks on the wire each block (ingest itself is an
+    SDR-side concern; the block is uploaded once and re-fed).
+
+    Usage: python bench.py fleet [n_bins] [block_secs]
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from sondetpu.runtime.fleet import FleetChannel, FleetSession
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    n_bins = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    block_secs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    fs_chan = 48000.0
+    block_len = int(48000 * block_secs)
+    w = n_bins * block_len
+
+    # heterogeneous map: ~60% rs41, ~30% m10, rest dfm (every bin occupied)
+    chans = []
+    for k in range(n_bins):
+        sonde = "rs41" if k % 10 < 6 else ("m10" if k % 10 < 9 else "dfm")
+        chans.append(FleetChannel(pfb_bin=k, sonde=sonde))
+    counts = {}
+    for c in chans:
+        counts[c.sonde] = counts.get(c.sonde, 0) + 1
+
+    fleet = FleetSession(chans, n_bins=n_bins, fs_chan=fs_chan,
+                         block_len=block_len, pipelined=True)
+
+    # wideband block: noise + one real RS41 carrier (zero-order-hold
+    # upsampled into bin 1) so the datapath sees a representative signal
+    rng = np.random.default_rng(0)
+    mod = RS41Modulator()
+    nb = mod.modulate([RS41Truth(frame_no=i) for i in range(2 * block_secs + 1)],
+                      fs=fs_chan)[:block_len]
+    k_bin = 1
+    ph = np.exp(2j * np.pi * k_bin * np.arange(w) / n_bins).astype(np.complex64)
+    wide = np.repeat(nb, n_bins)[:w] * ph
+    wi = (wide.real + rng.normal(size=w, scale=0.05)).astype(np.float32)
+    wq = (wide.imag + rng.normal(size=w, scale=0.05)).astype(np.float32)
+    del wide, ph
+    wi = jax.device_put(wi)
+    wq = jax.device_put(wq)
+
+    # warmup/compile (PFB + every group's pipeline)
+    for _ in range(2):
+        fleet.process_wideband((wi, wq))
+
+    iters = 6
+    times = []
+    updates = 0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        updates += fleet.process_wideband((wi, wq))
+        times.append(time.perf_counter() - t0)
+    dt = min(times[1:])
+
+    rt_channels = n_bins * block_secs / dt
+    result = {
+        "metric": "mixed_fleet_realtime_channels_per_chip",
+        "value": round(rt_channels, 1),
+        "unit": "channels",
+        "vs_baseline": round(rt_channels / 62.5, 3),
+        "detail": {
+            "n_bins": n_bins,
+            "mix": counts,
+            "wideband_msamples_per_sec": round(w / dt / 1e6, 1),
+            "step_ms": round(dt * 1e3, 3),
+            "updates": updates,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     import jax
     # persistent compile cache: repeated bench runs (and the driver's
@@ -117,4 +200,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "fleet":
+        bench_fleet()
+    else:
+        main()

@@ -114,6 +114,10 @@ class PFBChannelizer:
         # prototype lowpass at the channel Nyquist, unity passband
         proto = design_lowpass(cutoff_frac, float(self.n), L + 1)[:L] * self.n
         self._hbank = proto.reshape(self.tpp, self.n).T.astype(np.float32)  # [N, tpp]
+        # ONE compiled program per block instead of eager op-by-op dispatch
+        # (pathological over an RTT-dominated device link); outputs stay on
+        # device for the downstream per-group gathers (runtime/fleet.py)
+        self._jit_call = jax.jit(self._impl)
 
     @property
     def history(self) -> int:
@@ -136,7 +140,11 @@ class PFBChannelizer:
 
     def __call__(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
         """One block: wideband planes [W] (W % N == 0) ->
-        (state, y_i [N, W/N], y_q [N, W/N])."""
+        (state, y_i [N, W/N], y_q [N, W/N]). Jit-compiled; results are
+        device-resident."""
+        return self._jit_call(state, x_i, x_q)
+
+    def _impl(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
         n, tpp = self.n, self.tpp
         L = self.history
         w = x_i.shape[-1]

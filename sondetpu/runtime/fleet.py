@@ -41,7 +41,7 @@ class FleetSession:
                  fs_chan: float = 48000.0, block_len: int = 48000,
                  sync_threshold: float = 0.55, use_pallas: bool = False,
                  on_update=None, mesh=None, compute_dtype: str = "f32",
-                 afc: bool = False):
+                 afc: bool = False, pipelined: bool = False):
         self.channels = list(channels)
         self.pfb = PFBChannelizer(n_bins)
         self.pfb_state = self.pfb.init_state()
@@ -74,9 +74,27 @@ class FleetSession:
             # fleets mix both, BASELINE.json:11)
             group_mesh = mesh if (mesh is not None
                                   and len(idxs) % mesh.devices.size == 0) else None
+            # pipelined groups: every group's next step is dispatched before
+            # any packed readback, so the (RTT-dominated) readbacks of block
+            # k overlap the device's block k+1 across ALL groups
             sess = DecoderSession(cfg, on_update=self._wrap(sonde, idxs, on_update),
-                                  mesh=group_mesh)
+                                  mesh=group_mesh, pipelined=pipelined)
             self.groups[sonde] = (idxs, sess)
+        # per-group device-side bin gathers: the channelized planes never
+        # round-trip through the host (the PFB output stays device-resident
+        # and each group takes its rows with a baked-constant jnp.take)
+        import jax as _jax
+        import jax.numpy as _jnp
+        self._gathers = {}
+        for sonde, (idxs, _sess) in self.groups.items():
+            bins = np.asarray([self.channels[i].pfb_bin for i in idxs],
+                              np.int32)
+
+            def take(yi, yq, _b=bins):
+                k = _jnp.asarray(_b)
+                return _jnp.take(yi, k, axis=0), _jnp.take(yq, k, axis=0)
+
+            self._gathers[sonde] = _jax.jit(take)
 
     def _wrap(self, sonde: str, idxs: List[int], on_update):
         if on_update is None:
@@ -106,12 +124,11 @@ class FleetSession:
             wi = np.ascontiguousarray(iq.real.astype(np.float32))
             wq = np.ascontiguousarray(iq.imag.astype(np.float32))
         self.pfb_state, yi, yq = self.pfb(self.pfb_state, wi, wq)
-        yi = np.asarray(yi)
-        yq = np.asarray(yq)
+        # yi/yq stay ON DEVICE: each group's rows are gathered device-side
+        # and fed straight into its compiled step — the only host transfer
+        # per block is each group's packed frame readback
         updates = 0
         for sonde, (idxs, sess) in self.groups.items():
-            bins = [self.channels[i].pfb_bin for i in idxs]
-            gi = np.ascontiguousarray(yi[bins])
-            gq = np.ascontiguousarray(yq[bins])
+            gi, gq = self._gathers[sonde](yi, yq)
             updates += len(sess.process_block((gi, gq)))
         return updates

@@ -109,9 +109,10 @@ class DecoderSession:
             else:
                 from sondetpu.io.iq import c64_to_planes
                 pi, pq = c64_to_planes(np.asarray(iq))
+            # device_put reshards device-resident planes (fleet PFB output)
+            # without a host round-trip; host arrays upload sharded
             self.state, out = self._sharded_step(
-                self.state, self._shard_fn(np.asarray(pi)),
-                self._shard_fn(np.asarray(pq)))
+                self.state, self._shard_fn(pi), self._shard_fn(pq))
         else:
             self.state, out = self.pipeline.step(self.state, iq)
         self.blocks_seen += 1
