@@ -24,28 +24,57 @@ from jax import shard_map
 from sondetpu.dsp.fir import _apply_windows
 
 
-def channel_spec(leaf: Any, axis: str = "chip") -> P:
-    """PartitionSpec sharding the leading (channel) axis of a state leaf."""
+def mesh_channel_axes(mesh: Mesh):
+    """The mesh axes the channel dimension shards over: the full
+    ('host', 'chip') product on a 2-D multi-host mesh, 'chip' otherwise."""
+    names = tuple(mesh.axis_names)
+    if "host" in names and "chip" in names:
+        return ("host", "chip")
+    return names[0]
+
+
+def channel_spec(leaf: Any, axis="chip") -> P:
+    """PartitionSpec sharding the leading (channel) axis of a state leaf.
+
+    ``axis`` may be one mesh axis name or a tuple of names — a 2-D
+    ('host', 'chip') mesh shards channels over the host x chip product, so
+    host-adjacent channels ride ICI and only telemetry fan-in crosses DCN
+    (SURVEY.md §5.8)."""
     ndim = jnp.ndim(leaf)
     return P(axis, *([None] * (ndim - 1)))
 
 
-def shard_channels(tree: Any, mesh: Mesh, axis: str = "chip") -> Any:
-    """device_put every leaf of a pytree with its channel axis sharded."""
-    return jax.tree.map(
-        lambda leaf: jax.device_put(
-            leaf, NamedSharding(mesh, channel_spec(leaf, axis))), tree)
+def shard_channels(tree: Any, mesh: Mesh, axis="chip") -> Any:
+    """Place every leaf of a pytree with its channel axis sharded.
+
+    Device-resident leaves (e.g. the fleet PFB output) reshard with
+    device_put; host leaves upload. In an N>=2-process run, host leaves are
+    GLOBAL-shaped and each process materializes only its addressable
+    shards via make_array_from_callback (a plain device_put cannot build a
+    non-addressable global array from one host)."""
+    multiproc = jax.process_count() > 1
+
+    def put(leaf):
+        sh = NamedSharding(mesh, channel_spec(leaf, axis))
+        if multiproc and not isinstance(leaf, jax.Array):
+            arr = np.asarray(leaf)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx, _a=arr: _a[idx])
+        return jax.device_put(leaf, sh)
+
+    return jax.tree.map(put, tree)
 
 
-def sharded_pipeline_step(pipeline, mesh: Mesh, axis: str = "chip"):
+def sharded_pipeline_step(pipeline, mesh: Mesh, axis=None):
     """Compile the pipeline step with channel-sharded inputs/outputs.
 
     Returns (step_fn, shard_fn): ``shard_fn`` places state/iq onto the mesh;
-    ``step_fn(state, iq)`` is the SPMD-compiled block step.
+    ``step_fn(state, iq)`` is the SPMD-compiled block step. ``axis``
+    defaults to the mesh's channel axes (the ('host','chip') product on a
+    2-D mesh).
     """
-    def spec_tree(tree):
-        return jax.tree.map(
-            lambda leaf: NamedSharding(mesh, channel_spec(leaf, axis)), tree)
+    if axis is None:
+        axis = mesh_channel_axes(mesh)
 
     def step(state, iq_i, iq_q):
         return pipeline._step_impl(state, iq_i, iq_q)

@@ -630,8 +630,14 @@ class Pipeline:
             # stride-8 byte sequence of a frame becomes a contiguous run.
             from sondetpu.dsp.fir import _conv1d
             # 0/1 chips and the 8 power-of-two weights are exact in either
-            # dtype; the conv accumulates f32 regardless
-            hardf = (chipbuf > 0).astype(cdt)
+            # dtype; the conv accumulates f32 regardless. jnp.where, NOT
+            # (x > 0).astype(): the axon TPU backend MISCOMPILES the fused
+            # compare->convert->conv at channels >= 2 (wrong frame bytes;
+            # reproduced and bisected 2026-08-21 — see README "Backend
+            # quirks"); select-based hardening compiles correctly and
+            # fuses identically.
+            hardf = jnp.where(chipbuf > 0, jnp.asarray(1.0, cdt),
+                              jnp.asarray(0.0, cdt))
             byte_at = _conv1d(hardf, jnp.asarray(w))       # [C, buf_len - 7]
             cc, kk, fb = byte_at.shape[0], safe.shape[1], spec.frame_bytes
             pad = (-byte_at.shape[-1]) % 8
@@ -651,8 +657,9 @@ class Pipeline:
                 slice_sizes=(1, fb)).reshape(cc, kk, fb)
         else:
             # line-coded protocols: gather hard chips (uint8), line-decode
-            # per frame, then pack bits to bytes
-            hard_chips = (chipbuf > 0).astype(jnp.uint8)
+            # per frame, then pack bits to bytes (jnp.where for the same
+            # axon fusion miscompile as the nrz path above)
+            hard_chips = jnp.where(chipbuf > 0, jnp.uint8(1), jnp.uint8(0))
             chips, _ = gather_frames(hard_chips, starts, ok, c.frame_chips)
             if spec.line_code == "manchester":
                 chips = manchester_decode(chips)

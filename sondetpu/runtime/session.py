@@ -140,46 +140,135 @@ class DecoderSession:
                               soft_rms)
         return updates
 
+    def _packed_parts(self, out: BlockOutput):
+        """Host copies of the packed buffer as (channel_base, bytes) parts.
+
+        Single-process (incl. the virtual CPU mesh): ONE device->host
+        transfer of the whole buffer. In an N>=2-process run the global
+        array is not host-addressable — each process reads only ITS
+        addressable channel shards and decodes those channels; telemetry
+        crosses hosts via parallel/fanin.py, never raw sample data."""
+        import jax
+        packed_dev = out.packed
+        if isinstance(packed_dev, jax.Array) and not packed_dev.is_fully_addressable:
+            c = self.config
+            row = c.k_slots * c.wire_ncols + 2 * c.k_slots + 4
+            parts = []
+            seen = set()
+            for sh in sorted(packed_dev.addressable_shards,
+                             key=lambda s: (s.index[0].start or 0)):
+                start = sh.index[0].start or 0
+                if start in seen:          # replicated copy of a shard
+                    continue
+                seen.add(start)
+                parts.append((start // row, np.asarray(sh.data)))
+            # merge adjacent shards (contiguous per process) into one part
+            merged = []
+            for base, data in parts:
+                if merged and merged[-1][0] + merged[-1][1].size // row == base:
+                    merged[-1] = (merged[-1][0],
+                                  np.concatenate([merged[-1][1], data]))
+                else:
+                    merged.append((base, data))
+            return merged
+        return [(0, np.asarray(packed_dev))]
+
+    def local_channels(self) -> List[int]:
+        """Global channel indices whose state/output this process holds
+        (all channels in a single-process run)."""
+        import jax
+        if self.mesh is None or jax.process_count() <= 1:
+            return list(range(self.config.channels))
+        per = self.config.channels // jax.process_count()
+        pid = jax.process_index()
+        return list(range(pid * per, (pid + 1) * per))
+
     def _handle_output(self, out: BlockOutput):
-        # ONE device->host transfer per block (the link is RTT-dominated):
-        # frames, validity, and signal quality come packed in a single buffer
         from sondetpu.runtime.pipeline import unpack_block_output
-        packed = np.asarray(out.packed)
-        all_frames, valid, rs_clean, soft_rms = unpack_block_output(
-            packed, self.config.k_slots, self.config.wire_ncols)
-        if not valid.any():
-            return [], 0, 0, soft_rms
-        ch_idx, slot_idx = np.nonzero(valid)
-        frames = all_frames[ch_idx, slot_idx]                 # [n, wire_ncols]
-        self.frames_seen += frames.shape[0]
-        clean = rs_clean[ch_idx, slot_idx]
-        cols = self.config.wire_columns
-        # compact mode: prefetch suspect full frames in ONE device gather so
-        # workers stay pure-numpy
-        full = None
-        sus_ord = None
-        if cols is not None:
-            suspect = ~clean
-            if suspect.any():
-                full = self.pipeline.fetch_frames(
-                    out.frames, ch_idx[suspect], slot_idx[suspect])
-                sus_ord = np.cumsum(suspect) - 1
-        if self._pool is not None and ch_idx.size >= 4 * self.host_workers:
-            frags = self._decode_parallel(frames, ch_idx, clean, cols,
-                                          full, sus_ord)
-        elif cols is not None:
-            frags = self._decode_rows(frames, ch_idx, clean, cols,
-                                      full, sus_ord, 0)
-        # frames arrive as descrambled bytes (packed + de-whitened on device);
-        # decoders that understand the device RS-syndrome verdict skip host
-        # FEC for clean frames
-        elif getattr(self.decoder, "wants_rs_clean", False):
-            frags = self.decoder.decode_byte_frames(frames, ch_idx,
-                                                    rs_clean=clean)
-        else:
-            frags = self.decoder.decode_byte_frames(frames, ch_idx)
-        updates = self._merge_frags(frags)
-        return updates, int(frames.shape[0]), len(frags), soft_rms
+        updates: List[Tuple[int, SondeTelemetry]] = []
+        frames_total = 0
+        frags_total = 0
+        soft_rms = None
+        for ch_base, packed in self._packed_parts(out):
+            all_frames, valid, rs_clean, part_rms = unpack_block_output(
+                packed, self.config.k_slots, self.config.wire_ncols)
+            soft_rms = part_rms if soft_rms is None else np.concatenate(
+                [soft_rms, part_rms])
+            if not valid.any():
+                continue
+            ch_idx, slot_idx = np.nonzero(valid)
+            frames = all_frames[ch_idx, slot_idx]             # [n, wire_ncols]
+            ch_idx = ch_idx + ch_base                         # global channels
+            self.frames_seen += frames.shape[0]
+            frames_total += int(frames.shape[0])
+            clean = rs_clean[ch_idx - ch_base, slot_idx]
+            cols = self.config.wire_columns
+            # compact mode: prefetch suspect full frames in ONE device gather
+            # so workers stay pure-numpy
+            full = None
+            sus_ord = None
+            if cols is not None:
+                suspect = ~clean
+                if suspect.any():
+                    full = self._fetch_full(out, ch_idx[suspect],
+                                            slot_idx[suspect])
+                    sus_ord = np.cumsum(suspect) - 1
+            if self._pool is not None and ch_idx.size >= 4 * self.host_workers:
+                frags = self._decode_parallel(frames, ch_idx, clean, cols,
+                                              full, sus_ord)
+            elif cols is not None:
+                frags = self._decode_rows(frames, ch_idx, clean, cols,
+                                          full, sus_ord, 0)
+            # frames arrive as descrambled bytes (packed + de-whitened on
+            # device); decoders that understand the device RS-syndrome
+            # verdict skip host FEC for clean frames
+            elif getattr(self.decoder, "wants_rs_clean", False):
+                frags = self.decoder.decode_byte_frames(frames, ch_idx,
+                                                        rs_clean=clean)
+            else:
+                frags = self.decoder.decode_byte_frames(frames, ch_idx)
+            frags_total += len(frags)
+            updates += self._merge_frags(frags)
+        return updates, frames_total, frags_total, soft_rms
+
+    def _fetch_full(self, out: BlockOutput, ch_idx, slot_idx) -> np.ndarray:
+        """Suspect full-frame fetch; in an N>=2-process run the frames
+        array is not globally addressable, so the rows come from this
+        process's own shards (the requested channels are local by
+        construction of the packed-part readback)."""
+        import jax
+        frames_dev = out.frames
+        if isinstance(frames_dev, jax.Array) and not frames_dev.is_fully_addressable:
+            fb = self.config.spec.frame_bytes
+            res = np.zeros((len(ch_idx), fb), np.uint8)
+            shards = [((s.index[0].start or 0), s.index[0].stop, s.data)
+                      for s in frames_dev.addressable_shards]
+            for i, (c, k) in enumerate(zip(ch_idx, slot_idx)):
+                for start, stop, data in shards:
+                    if start <= c < stop:
+                        res[i] = np.asarray(data[int(c - start), int(k)])
+                        break
+            return res
+        return self.pipeline.fetch_frames(frames_dev, ch_idx, slot_idx)
+
+    def telemetry_fanin(self, cap: int = 256) -> dict:
+        """All-process telemetry view: gather every process's numeric
+        telemetry rows over the fleet's collectives (SURVEY.md §5.8
+        all_gather) -> {channel: {field: value}} on EVERY process. The
+        single-process form is just this session's telemetry."""
+        from sondetpu.parallel import fanin
+        rows = fanin.telemetry_rows(self.telemetry)
+        return fanin.rows_to_dict(fanin.allgather_rows(rows, cap=cap))
+
+    def metrics_fanin(self) -> dict:
+        """Cluster-wide counter sums (the psum of SURVEY.md §5.8)."""
+        from sondetpu.parallel import fanin
+        m = self.metrics
+        tot = fanin.sum_counts([self.frames_seen, m.frames_decoded,
+                                m.updates, self.blocks_seen])
+        return {"frames_raw": int(tot[0]), "frames_decoded": int(tot[1]),
+                "updates": int(tot[2]),
+                "blocks": int(tot[3] // max(1, __import__("jax").process_count()))}
 
     def _merge_frags(self, frags) -> List[Tuple[int, SondeTelemetry]]:
         updates: List[Tuple[int, SondeTelemetry]] = []

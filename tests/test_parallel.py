@@ -132,3 +132,66 @@ def test_channel_sharded_bf16_step_matches_single_device():
                                   np.asarray(out_ref.frame_valid))
     np.testing.assert_array_equal(np.asarray(out.frames),
                                   np.asarray(out_ref.frames))
+
+
+def test_2d_host_chip_mesh_step_matches_single_device():
+    """A ('host', 'chip') 2-D mesh (the real multi-host layout,
+    SURVEY.md §5.8): channels shard over the host x chip product and the
+    SPMD step matches the single-device run exactly."""
+    channels = 8
+    mod = RS41Modulator()
+    iq1 = mod.modulate([RS41Truth(frame_no=30 + i) for i in range(2)],
+                       fs=48000.0)
+    iq = np.stack([iq1] * channels)[:, :48000]
+
+    cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=48000)
+    pipe = Pipeline(cfg)
+    _, out_ref = pipe.step(pipe.init_state(), iq)
+
+    mesh = make_mesh(axis_names=("host", "chip"), shape=(2, 4))
+    assert mesh.shape == {"host": 2, "chip": 4}
+    step_fn, shard_fn = sharded_pipeline_step(pipe, mesh)   # axis inferred
+    st = shard_fn(pipe.init_state())
+    iq_i = shard_fn(np.ascontiguousarray(iq.real.astype(np.float32)))
+    iq_q = shard_fn(np.ascontiguousarray(iq.imag.astype(np.float32)))
+    # channel axis is sharded over BOTH mesh axes
+    assert len(iq_i.sharding.device_set) == 8
+    _, out = step_fn(st, iq_i, iq_q)
+    np.testing.assert_array_equal(np.asarray(out.frame_valid),
+                                  np.asarray(out_ref.frame_valid))
+    np.testing.assert_array_equal(np.asarray(out.frames),
+                                  np.asarray(out_ref.frames))
+
+
+def test_sharded_session_2d_mesh_decodes():
+    """DecoderSession over a 2-D ('host','chip') mesh decodes telemetry
+    (the runtime path, not just the raw step)."""
+    mod = RS41Modulator()
+    iq1 = mod.modulate([RS41Truth(frame_no=3 + i) for i in range(3)])
+    iq = np.stack([iq1] * 8)
+    mesh = make_mesh(axis_names=("host", "chip"), shape=(2, 4))
+    cfg = PipelineConfig(sonde="rs41", channels=8, block_len=48000)
+    sess = DecoderSession(cfg, mesh=mesh)
+    for i in range(0, iq.shape[1] - 48000 + 1, 48000):
+        sess.process_block(iq[:, i:i + 48000])
+    assert len(sess.telemetry) == 8
+    assert sess.telemetry[0].serial == "S1234567"
+    # single-process: fan-in is the identity view of the same telemetry
+    fan = sess.telemetry_fanin()
+    assert set(fan) == set(range(8))
+    assert fan[0]["lat"] == pytest.approx(45.0, abs=1e-4)
+    m = sess.metrics_fanin()
+    assert m["frames_decoded"] >= 8
+
+
+def test_fanin_rows_roundtrip():
+    from sondetpu.parallel import fanin
+
+    rows = np.array([[3, 45.0, 9.0, 12000.0, 9.4, 32.0, 4.5,
+                      -42.5, 35.0, 193.3, 1.7e9, 107]], np.float32)
+    got = fanin.allgather_rows(rows)
+    assert got.shape == rows.shape
+    d = fanin.rows_to_dict(got)
+    assert d[3]["lat"] == pytest.approx(45.0)
+    tot = fanin.sum_counts([5, 7])
+    np.testing.assert_allclose(tot, [5.0, 7.0])
