@@ -178,6 +178,21 @@ class PipelineConfig:
         cols = self.wire_columns
         return self.spec.frame_bytes if cols is None else len(cols)
 
+    @property
+    def chase_m(self) -> int:
+        """Soft-decision assist for checksum-only families (spec
+        extra['chase_m']): the device ranks every decoded bit's reliability
+        (min |soft chip| of its line-code pair) and ships the M weakest bit
+        indices per frame; the host flips single/pair combinations of them
+        when the checksum fails (a Chase-2 style repair). 0 = off."""
+        return int(self.spec.extra.get("chase_m", 0))
+
+    @property
+    def packed_row_bytes(self) -> int:
+        """Per-channel width of the flat packed readback buffer."""
+        k = self.k_slots
+        return k * self.wire_ncols + 2 * k + 4 + 2 * k * self.chase_m
+
 
 class PipelineState(NamedTuple):
     # IQ is carried as float32 I/Q planes end to end: several PJRT backends
@@ -211,13 +226,16 @@ class BlockOutput(NamedTuple):
     packed: jax.Array
 
 
-def unpack_block_output(packed: np.ndarray, k_slots: int, frame_bytes: int):
+def unpack_block_output(packed: np.ndarray, k_slots: int, frame_bytes: int,
+                        chase_m: int = 0):
     """Split a host copy of BlockOutput.packed into (frames [C, K, fb] uint8,
-    valid [C, K] bool, rs_clean [C, K] bool, soft_rms [C] float32).
+    valid [C, K] bool, rs_clean [C, K] bool, soft_rms [C] float32[,
+    weak_bits [C, K, M] int]).
 
     ``frame_bytes`` is the per-frame wire width: config.wire_ncols (== the
-    full spec.frame_bytes unless the spec defines compact wire_columns)."""
-    row = k_slots * frame_bytes + 2 * k_slots + 4
+    full spec.frame_bytes unless the spec defines compact wire_columns);
+    ``chase_m`` adds the per-frame weakest-bit indices (config.chase_m)."""
+    row = k_slots * frame_bytes + 2 * k_slots + 4 + 2 * k_slots * chase_m
     c = packed.size // row
     packed = packed.reshape(c, row)
     fbk = k_slots * frame_bytes
@@ -227,7 +245,11 @@ def unpack_block_output(packed: np.ndarray, k_slots: int, frame_bytes: int):
     off = fbk + 2 * k_slots
     soft_rms = np.ascontiguousarray(packed[:, off:off + 4]
                                     ).view(np.float32)[:, 0]
-    return frames, valid, rs_clean, soft_rms
+    if not chase_m:
+        return frames, valid, rs_clean, soft_rms
+    wb = np.ascontiguousarray(packed[:, off + 4:]).view(np.uint16)
+    weak = wb.reshape(c, k_slots, chase_m).astype(np.int64)
+    return frames, valid, rs_clean, soft_rms, weak
 
 
 class Pipeline:
@@ -655,12 +677,29 @@ class Pipeline:
                     offset_dims=(1,), collapsed_slice_dims=(0,),
                     start_index_map=(0, 1)),
                 slice_sizes=(1, fb)).reshape(cc, kk, fb)
-        else:
-            # line-coded protocols: gather hard chips (uint8), line-decode
-            # per frame, then pack bits to bytes (jnp.where for the same
-            # axon fusion miscompile as the nrz path above)
-            hard_chips = jnp.where(chipbuf > 0, jnp.uint8(1), jnp.uint8(0))
-            chips, _ = gather_frames(hard_chips, starts, ok, c.frame_chips)
+        weak = None
+        if spec.line_code != "nrz":
+            if c.chase_m:
+                # soft-decision assist: gather SOFT chips once, derive the
+                # hard decisions from the gathered values, and rank every
+                # decoded bit's reliability as min(|a|, |b|) of its chip
+                # pair (the LLR magnitude of the XOR/transition decision).
+                # The M weakest bit indices per frame ride the packed
+                # buffer; the host flips them when the checksum fails
+                # (Chase-2 repair for the checksum-only 9600 Bd families).
+                soft_fr, _ = gather_frames(chipbuf.astype(jnp.float32),
+                                           starts, ok, c.frame_chips)
+                chips = jnp.where(soft_fr > 0, jnp.uint8(1), jnp.uint8(0))
+                rel = jnp.minimum(jnp.abs(soft_fr[..., 0::2]),
+                                  jnp.abs(soft_fr[..., 1::2]))
+                _, weak = jax.lax.top_k(-rel, c.chase_m)    # [C, K, M]
+            else:
+                # hard path: gather hard chips (uint8) only (jnp.where for
+                # the same axon fusion miscompile as the nrz path above)
+                hard_chips = jnp.where(chipbuf > 0, jnp.uint8(1),
+                                       jnp.uint8(0))
+                chips, _ = gather_frames(hard_chips, starts, ok,
+                                         c.frame_chips)
             if spec.line_code == "manchester":
                 chips = manchester_decode(chips)
             elif spec.line_code == "biphase_m":
@@ -701,12 +740,18 @@ class Pipeline:
         cols = c.wire_columns
         wire = frames if cols is None else jnp.take(
             frames, jnp.asarray(np.asarray(cols, np.int32)), axis=-1)
-        packed = jnp.concatenate([
+        parts = [
             wire.reshape(wire.shape[0], -1),
             frame_valid.astype(jnp.uint8),
             rs_clean.astype(jnp.uint8),
             jax.lax.bitcast_convert_type(soft_rms, jnp.uint8),
-        ], axis=-1).reshape(-1)
+        ]
+        if c.chase_m:
+            # weakest-bit indices as u16 LE pairs (packed_row_bytes)
+            wb = jax.lax.bitcast_convert_type(weak.astype(jnp.uint16),
+                                              jnp.uint8)
+            parts.append(wb.reshape(wb.shape[0], -1))
+        packed = jnp.concatenate(parts, axis=-1).reshape(-1)
         out = BlockOutput(
             frames=frames,
             frame_valid=frame_valid,

@@ -152,7 +152,7 @@ class DecoderSession:
         packed_dev = out.packed
         if isinstance(packed_dev, jax.Array) and not packed_dev.is_fully_addressable:
             c = self.config
-            row = c.k_slots * c.wire_ncols + 2 * c.k_slots + 4
+            row = c.packed_row_bytes
             parts = []
             seen = set()
             for sh in sorted(packed_dev.addressable_shards,
@@ -190,8 +190,14 @@ class DecoderSession:
         frags_total = 0
         soft_rms = None
         for ch_base, packed in self._packed_parts(out):
-            all_frames, valid, rs_clean, part_rms = unpack_block_output(
-                packed, self.config.k_slots, self.config.wire_ncols)
+            res = unpack_block_output(packed, self.config.k_slots,
+                                      self.config.wire_ncols,
+                                      self.config.chase_m)
+            weak_all = None
+            if self.config.chase_m:
+                all_frames, valid, rs_clean, part_rms, weak_all = res
+            else:
+                all_frames, valid, rs_clean, part_rms = res
             soft_rms = part_rms if soft_rms is None else np.concatenate(
                 [soft_rms, part_rms])
             if not valid.any():
@@ -213,7 +219,14 @@ class DecoderSession:
                     full = self._fetch_full(out, ch_idx[suspect],
                                             slot_idx[suspect])
                     sus_ord = np.cumsum(suspect) - 1
-            if self._pool is not None and ch_idx.size >= 4 * self.host_workers:
+            if weak_all is not None and getattr(self.decoder,
+                                                "wants_weak_bits", False):
+                # soft-assist families: hand the device's weakest-bit ranks
+                # to the Chase repair in the host parser
+                frags = self.decoder.decode_byte_frames(
+                    frames, ch_idx,
+                    weak_bits=weak_all[ch_idx - ch_base, slot_idx])
+            elif self._pool is not None and ch_idx.size >= 4 * self.host_workers:
                 frags = self._decode_parallel(frames, ch_idx, clean, cols,
                                               full, sus_ord)
             elif cols is not None:

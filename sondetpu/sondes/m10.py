@@ -64,7 +64,10 @@ SPEC = ProtocolSpec(
     deviation=12000.0,
     extra={"abs_corr": True,     # biphase-M polarity ambiguity
            # M20 subtype shares the channel but has its own length/type
-           "alt_syncword": bytes([0xAA, 0xAA, 0x45, 0x20])},
+           "alt_syncword": bytes([0xAA, 0xAA, 0x45, 0x20]),
+           # soft-decision assist: device ranks the 8 weakest decoded bits
+           # per frame for the host's Chase checksum repair
+           "chase_m": 8},
 )
 
 # Shibaura PB5-41E NTC Steinhart-Hart (1/T = p0+p1*L+p2*L^2+p3*L^3, L=lnR)
@@ -124,35 +127,63 @@ def m10_serial(b: np.ndarray) -> str:
 
 class M10Decoder(SondeDecoderBase):
     spec = SPEC
+    # the device ships per-frame weakest-bit ranks (spec extra['chase_m']);
+    # checksum failures get a Chase-2 style flip search over them
+    wants_weak_bits = True
 
     def reset_channel(self, channel: int) -> None:
         pass                                  # stateless per frame
 
-    def decode_byte_frames(self, frames: np.ndarray, channels
+    def decode_byte_frames(self, frames: np.ndarray, channels,
+                           weak_bits: Optional[np.ndarray] = None
                            ) -> List[Tuple[int, TelemetryFragment]]:
         frames = np.atleast_2d(np.asarray(frames, dtype=np.uint8))
         out = []
         for fi in range(frames.shape[0]):
             w = frames[fi]
             ch = int(np.asarray(channels)[fi])
-            if w[0:2].tobytes() != b"\xaa\xaa":
-                continue
-            f = w[2:]                          # the real frame
-            if f[0] == 0x64 and f[1] == 0x9F and f[2] == 0x20:
-                want = (int(f[0x63]) << 8) | int(f[0x64])
-                if m10_checksum(f[0:0x63]) != want:
-                    continue
-                frag = self._parse(f, is_m20=False)
-            elif f[0] == 0x45 and f[1] == 0x20:
-                want = (int(f[0x44]) << 8) | int(f[0x45])
-                if m10_checksum(f[0:0x44]) != want:
-                    continue
-                frag = self._parse(f, is_m20=True)
-            else:
-                continue
-            if frag.fields:
+            frag = self._try_window(w)
+            if frag is None and weak_bits is not None:
+                frag = self._chase(w, weak_bits[fi])
+            if frag is not None and frag.fields:
                 out.append((ch, frag))
         return out
+
+    def _try_window(self, w: np.ndarray) -> Optional[TelemetryFragment]:
+        if w[0:2].tobytes() != b"\xaa\xaa":
+            return None
+        f = w[2:]                              # the real frame
+        if f[0] == 0x64 and f[1] == 0x9F and f[2] == 0x20:
+            want = (int(f[0x63]) << 8) | int(f[0x64])
+            if m10_checksum(f[0:0x63]) != want:
+                return None
+            return self._parse(f, is_m20=False)
+        if f[0] == 0x45 and f[1] == 0x20:
+            want = (int(f[0x44]) << 8) | int(f[0x45])
+            if m10_checksum(f[0:0x44]) != want:
+                return None
+            return self._parse(f, is_m20=True)
+        return None
+
+    def _chase(self, w: np.ndarray, weak) -> Optional[TelemetryFragment]:
+        """Soft-decision checksum repair: flip single and pair combinations
+        of the device-ranked weakest decoded bits (PROTOCOLS.md m10 — the
+        checksum-only protocol has no FEC; reliability-ordered re-slicing
+        is the only way to buy back SNR)."""
+        import itertools
+        nbits = w.size * 8
+        weak = [int(b) for b in np.asarray(weak).ravel() if 0 <= int(b) < nbits]
+        cands = [(i,) for i in range(len(weak))]
+        cands += list(itertools.combinations(range(len(weak)), 2))
+        for cand in cands:
+            w2 = w.copy()
+            for ci in cand:
+                b = weak[ci]
+                w2[b >> 3] ^= 0x80 >> (b & 7)
+            frag = self._try_window(w2)
+            if frag is not None:
+                return frag
+        return None
 
     def _parse(self, f: np.ndarray, is_m20: bool = False) -> TelemetryFragment:
         frag = TelemetryFragment()
