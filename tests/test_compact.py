@@ -96,3 +96,64 @@ def test_compact_suspect_path_corrects_and_decodes():
     assert {21, 23, 24} & seqs, seqs
     assert {20, 22} & seqs, seqs
     assert len(seqs) >= 4
+
+
+def test_wire_column_trust_chain_catches_crc_and_data_corruption():
+    """Adversarial proof of the crc_present=False trust chain: the compact
+    clean path skips CRC re-checks because "zero RS syndrome => the block
+    CRCs would pass". That holds only while the RS code covers every byte
+    the CRC covers — so corrupting (a) a block CRC byte and (b) a data
+    byte of otherwise-clean frames MUST flip the device syndrome to
+    suspect (never the clean path), and a corruption beyond the RS budget
+    MUST be rejected outright, not accepted with a bad CRC."""
+    from sondetpu.sondes.rs41 import _BLOCK_OFFSETS
+
+    mod = RS41Modulator()
+    frames = [mod.build_frame(RS41Truth(frame_no=40 + i, alt=6000.0))
+              for i in range(6)]
+    # frame 1: flip a CRC byte of the first block (status) — pos layout is
+    # [type][len][data dlen][crc16], so the CRC lives at pos+2+dlen
+    typ, pos, dlen = _BLOCK_OFFSETS[0]
+    frames[1][pos + 2 + dlen] ^= 0xFF
+    # frame 2: flip a data byte inside the same block
+    frames[2][pos + 2] ^= 0xA5
+    # frame 4: blow past the RS correction budget (t=12 per codeword):
+    # 30 corrupted bytes in one interleave arm land >12 errors in one
+    # codeword — uncorrectable, must be REJECTED
+    frames[4][DATA_START:DATA_START + 60:2] ^= 0x5A
+
+    iq = _iq_from_frames(frames)
+    cfg = PipelineConfig(sonde="rs41", channels=1, block_len=48000)
+    pipe = Pipeline(cfg)
+    state = pipe.init_state()
+    iq = np.pad(iq, (0, (-iq.size) % cfg.block_len))
+    seen = {}
+    for i in range(0, iq.size - cfg.block_len + 1, cfg.block_len):
+        state, out = pipe.step(state, iq[None, i:i + cfg.block_len])
+        res = unpack_block_output(np.asarray(out.packed), cfg.k_slots,
+                                  cfg.wire_ncols)
+        wire, valid, rs_clean = res[0], res[1], res[2]
+        full = np.asarray(out.frames)
+        for s in np.nonzero(valid[0])[0]:
+            fno = None
+            # frame number from the status block via the full frame
+            fr = full[0, s]
+            fno = int(fr[pos + 2]) | (int(fr[pos + 3]) << 8)
+            seen[len(seen)] = (bool(rs_clean[0, s]),)
+    # order of arrival == transmit order (frames back-to-back)
+    clean_flags = [v[0] for v in seen.values()]
+    assert len(clean_flags) >= 6
+    assert clean_flags[0] and clean_flags[3] and clean_flags[5]  # untouched
+    assert not clean_flags[1]      # CRC-byte corruption -> suspect
+    assert not clean_flags[2]      # data-byte corruption -> suspect
+    assert not clean_flags[4]      # beyond-budget corruption -> suspect
+
+    # end-to-end: the decode session corrects frames 1/2 on the host RS
+    # path and REJECTS frame 4 (no fabricated telemetry)
+    sess = DecoderSession(cfg)
+    seqs = set()
+    for i in range(0, iq.size - cfg.block_len + 1, cfg.block_len):
+        for _, t in sess.process_block(iq[None, i:i + cfg.block_len]):
+            seqs.add(t.seq)
+    assert {41, 42} <= seqs, seqs      # corrected via host RS
+    assert 44 not in seqs, seqs        # uncorrectable: rejected
