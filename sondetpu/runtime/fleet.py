@@ -60,8 +60,9 @@ class FleetSession:
             # bf16 applies per group: AFSK groups fall back to f32
             group_cdt = ("f32" if spec.modulation == "afsk" or use_pallas
                          else compute_dtype)
-            # afc applies per group: AFSK groups keep their static offsets
-            group_afc = afc and spec.modulation != "afsk" and not use_pallas
+            # afc applies per group (AFSK included: the discriminator-DC
+            # loop tracks carrier offset for tone pairs too — pipeline.py)
+            group_afc = afc and not use_pallas
             cfg = PipelineConfig(sonde=sonde, channels=len(idxs),
                                  fs=fs_chan, block_len=block_len,
                                  sync_threshold=sync_threshold,

@@ -86,11 +86,13 @@ class PipelineConfig:
         if self.afc and self.use_pallas:
             raise ValueError("afc needs the jnp front end (the Pallas "
                              "kernel does not export the discriminator DC)")
-        if self.afc and spec.modulation == "afsk":
-            # AFSK audio DC mixes data bias (mark/space density) with
-            # carrier offset — an AFC loop would chase the data
-            raise ValueError("afc supports FM-discriminated (GFSK/FSK) "
-                             "families only")
+        # AFSK families track carrier drift with the SAME discriminator-DC
+        # loop: the Bell-202 audio is a pair of (near) zero-mean tones, so
+        # the block mean of the discriminator output measures carrier
+        # offset with only a small partial-cycle data residue (the space
+        # tone's 1.83 cycles/symbol truncation) — bounded well below the
+        # loop's clamp and averaged down over the block. Verified by the
+        # drifting-iMet-4 test (tests/test_afc.py).
         sps = self.fs / spec.baud
         if abs(self.block_len / sps - round(self.block_len / sps)) > 1e-9:
             raise ValueError("block_len must be an integer number of symbols")

@@ -66,9 +66,44 @@ def test_afc_state_checkpoints(tmp_path):
 
 def test_afc_config_gates():
     with pytest.raises(ValueError):
-        PipelineConfig(sonde="imet4", channels=1, afc=True)   # AFSK
-    with pytest.raises(ValueError):
         PipelineConfig(sonde="rs41", channels=8, afc=True, use_pallas=True)
+
+
+def test_afc_tracks_drifting_afsk_imet4():
+    """AFSK AFC: a drifting iMet-4 carrier (0 -> +14 kHz, past the channel
+    filter's edge) keeps decoding with afc on — the discriminator-DC loop
+    tracks tone-pair carrier offset too; the tone correlators themselves
+    are DC-immune, so only drift beyond the channel filter hurts, and
+    that is exactly what the loop removes (the reference's human re-drag
+    covered AFSK sondes as well, main.cpp:55-56)."""
+    from sondetpu.sondes.imet4 import IMET4Modulator, IMET4Truth
+
+    fs = 48000.0
+    mod = IMET4Modulator()
+    iq = mod.modulate([IMET4Truth(frame_no=i) for i in range(16)], fs=fs)
+    n = iq.size
+    t = np.arange(n)
+    finst = 14000.0 * t / n                     # ramp 0 -> 14 kHz
+    phase = 2.0 * np.pi * np.cumsum(finst) / fs
+    sig = (iq * np.exp(1j * phase)).astype(np.complex64)
+    rng = np.random.default_rng(3)
+    sig = sig + (0.03 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                 ).astype(np.complex64)
+    sig = np.pad(sig, (0, (-n) % 48000))
+
+    def run(afc):
+        cfg = PipelineConfig(sonde="imet4", channels=1, block_len=48000,
+                             afc=afc, afc_max_hz=20000.0)
+        sess = DecoderSession(cfg)
+        for b in range(sig.size // 48000):
+            sess.process_block(sig[b * 48000:(b + 1) * 48000][None, :])
+        return sess
+
+    afc = run(afc=True)
+    static = run(afc=False)
+    assert afc.metrics.frames_decoded >= static.metrics.frames_decoded + 4
+    # tracked frequency follows the ramp into its upper half
+    assert 9000.0 < afc.afc_freqs[0] < 14500.0
 
 
 def test_afc_seeded_by_fine_offsets():
