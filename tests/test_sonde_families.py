@@ -195,3 +195,24 @@ def test_m20_end_to_end():
     # decoder must not fabricate them
     assert np.isnan(t.temp)
     assert t.serial == ""
+
+
+def test_m10_chase_repair_buys_snr():
+    """The device weakest-bit ranks + host Chase checksum repair must keep
+    buying SNR: at 7 dB the hard-decision path loses most frames to 1-2
+    bit errors, the chase path repairs them (measured 11 vs 5 of 12 at 7 dB) (PROTOCOLS.md m10)."""
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth, SPEC
+
+    mod = M10Modulator()
+    iq = mod.modulate([M10Truth(frame_no=60 + i) for i in range(12)])
+
+    with_chase = _run("m10", iq, snr_db=7.0, seed=5)
+    m = SPEC.extra.pop("chase_m")
+    try:
+        without = _run("m10", iq, snr_db=7.0, seed=5)
+    finally:
+        SPEC.extra["chase_m"] = m
+    dec_with = with_chase.metrics.frames_decoded
+    dec_without = without.metrics.frames_decoded
+    assert dec_with >= 9, (dec_with, dec_without)
+    assert dec_with >= dec_without + 3, (dec_with, dec_without)

@@ -9,6 +9,15 @@ with a tiny scalar readback.
 
 Usage: python tools/profile_stages.py [channels] [block_secs] [sonde]
 (SONDETPU_PALLAS=1 profiles the fused Pallas front-end path)
+
+RELIABILITY (measured r3): the front-end stage diffs (chanfilt, demod,
+timing, sample) are trustworthy; the TAIL truncations (corr/peaks/gather/
+syndrome) are NOT — a truncated program that materializes + sums the
+correlation lowers differently from the full program (seconds vs the full
+step's tens of ms), so their diffs go wildly negative against FULL. For
+tail-stage attribution use feature toggles on the full step instead
+(pop spec.extra['rs'] / ['wire_columns'] and re-measure), as recorded in
+README "Performance".
 """
 
 import os
