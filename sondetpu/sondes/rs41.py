@@ -89,6 +89,7 @@ def _n_rs_data(frame_len: int) -> int:
 
 CALIB_PAGES = 51
 CALIB_BYTES = CALIB_PAGES * 16
+RF1, RF2 = 750.0, 1100.0   # T reference resistors, Ohm (public constants)
 _CAL_TEMP_OFF = 0x20       # 3 x f32le
 _CAL_HUM_OFF = 0x30        # 3 x f32le
 _CAL_TEMP_PAGE = _CAL_TEMP_OFF // 16
@@ -436,7 +437,7 @@ class RS41Decoder(SondeDecoderBase):
                 fields |= F_TIME
             if meas_ok[fi]:
                 c = counts[fi]
-                frag.temp = self._poly(cal.coeffs(_CAL_TEMP_OFF), c[0], c[1], c[2])
+                frag.temp = self._temp(cal.coeffs(_CAL_TEMP_OFF), c[0], c[1], c[2])
                 frag.rh = self._poly(cal.coeffs(_CAL_HUM_OFF), c[3], c[4], c[5])
                 frag.pressure = 0.0   # RS41-SG: no pressure sensor -> ISA
                 frag.calib_percent = cal.percent
@@ -460,6 +461,20 @@ class RS41Decoder(SondeDecoderBase):
             return float("nan")
         r = (main - ref1) / (ref2 - ref1)
         return float(coeffs[0] + coeffs[1] * r + coeffs[2] * r * r)
+
+    @staticmethod
+    def _temp(coeffs, main, ref1, ref2):
+        """Temperature via the RESISTANCE domain: the RS41 measures its
+        PT1000-class sensor against the two on-board reference resistors
+        RF1 = 750 Ohm / RF2 = 1100 Ohm (public protocol constants,
+        PROTOCOLS.md rs41); counts -> Ohm through the reference pair, then
+        the calibration polynomial maps resistance to degC (coefficient
+        blob offsets remain framework-defined)."""
+        if coeffs is None or ref2 == ref1:
+            return float("nan")
+        g = (ref2 - ref1) / (RF2 - RF1)          # counts per Ohm
+        r_ohm = (main - ref1) / g + RF1
+        return float(coeffs[0] + coeffs[1] * r_ohm + coeffs[2] * r_ohm * r_ohm)
 
 
 # ---------------------------------------------------------------------------
@@ -493,9 +508,13 @@ class RS41Modulator:
     def __init__(self, calib_seed: int = 1234):
         rng = np.random.default_rng(calib_seed)
         blob = rng.integers(0, 256, size=CALIB_BYTES, dtype=np.uint8)
-        # temperature poly: T = t0 + t1 * r, r in [0,1] mapping -100..+50 C
+        # temperature poly in the RESISTANCE domain (decoder maps counts
+        # -> Ohm through the RF1/RF2 reference pair): linear map placing
+        # RF1..RF2 Ohm onto -100..+50 C
+        t1 = 150.0 / (1100.0 - 750.0)
         blob[_CAL_TEMP_OFF:_CAL_TEMP_OFF + 12] = np.frombuffer(
-            np.array([-100.0, 150.0, 0.0], dtype="<f4").tobytes(), dtype=np.uint8)
+            np.array([-100.0 - 750.0 * t1, t1, 0.0],
+                     dtype="<f4").tobytes(), dtype=np.uint8)
         blob[_CAL_HUM_OFF:_CAL_HUM_OFF + 12] = np.frombuffer(
             np.array([0.0, 100.0, 0.0], dtype="<f4").tobytes(), dtype=np.uint8)
         self.calib_blob = blob
@@ -533,9 +552,10 @@ class RS41Modulator:
             tco = np.frombuffer(self.calib_blob[_CAL_TEMP_OFF:_CAL_TEMP_OFF + 12], "<f4")
             hco = np.frombuffer(self.calib_blob[_CAL_HUM_OFF:_CAL_HUM_OFF + 12], "<f4")
             ref1, ref2 = 131072, 393216
-            r_t = (truth.temp - tco[0]) / tco[1]
+            g = (ref2 - ref1) / (1100.0 - 750.0)     # counts per Ohm
+            r_ohm = (truth.temp - tco[0]) / tco[1]   # target resistance
             r_h = (truth.rh - hco[0]) / hco[1]
-            counts = [int(ref1 + r_t * (ref2 - ref1)), ref1, ref2,
+            counts = [int(round(ref1 + (r_ohm - 750.0) * g)), ref1, ref2,
                       int(ref1 + r_h * (ref2 - ref1)), ref1, ref2,
                       200000, 0]
             for i, cval in enumerate(counts):
