@@ -88,6 +88,7 @@ def bench_fleet():
         t0 = time.perf_counter()
         updates += fleet.process_wideband((wi, wq))
         times.append(time.perf_counter() - t0)
+    updates += fleet.flush()        # drain the pipelined groups' last block
     dt = min(times[1:])
 
     rt_channels = n_bins * block_secs / dt

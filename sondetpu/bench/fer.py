@@ -49,20 +49,30 @@ def fer_sweep(sonde: str, snrs_db: Sequence[float], n_frames: int = 20,
     mfc = spec.extra.get("min_frame_chips", spec.chips_per_frame)
     max_frames = max(4, chips_per_block // mfc + 2)
 
-    points: List[dict] = []
-    rng = np.random.default_rng(seed)
-    for snr in snrs_db:
-        iq = add_awgn(iq_clean, snr, rng=rng)
+    def run(iq) -> float:
         cfg = PipelineConfig(sonde=sonde, channels=channels,
                              block_len=block_len, fs=fs,
                              sync_threshold=0.55, max_frames=max_frames)
         sess = DecoderSession(cfg)
-        total_decoded = 0
         for i in range(0, iq.size - block_len + 1, block_len):
             blk = np.tile(iq[None, i:i + block_len], (channels, 1))
             sess.process_block(blk)
-        total_decoded = sess.metrics.frames_decoded / max(channels, 1)
-        fer = 1.0 - min(total_decoded / n_frames, 1.0)
+        return sess.metrics.frames_decoded / max(channels, 1)
+
+    # denominator = the CLEAN-signal decode count, NOT n_frames: packetized
+    # families emit several decode units per truth (iMet-4: PTU+GPS+XDATA)
+    # and block-boundary edge frames may never be gatherable, so dividing
+    # by n_frames would let a decoder silently lose packets while still
+    # reporting FER 0.
+    clean_units = run(iq_clean)
+    denom = max(clean_units, 1.0)
+
+    points: List[dict] = []
+    rng = np.random.default_rng(seed)
+    for snr in snrs_db:
+        total_decoded = run(add_awgn(iq_clean, snr, rng=rng))
+        fer = 1.0 - min(total_decoded / denom, 1.0)
         points.append({"snr_db": snr, "decoded": total_decoded,
                        "fer": round(fer, 4)})
-    return {"sonde": sonde, "n_frames": n_frames, "points": points}
+    return {"sonde": sonde, "n_frames": n_frames,
+            "clean_units": clean_units, "points": points}

@@ -115,6 +115,11 @@ class FleetSession:
                 out[idxs[local]] = t
         return out
 
+    def flush(self) -> int:
+        """Drain every pipelined group's pending block (call at end of
+        stream — without it the final block's frames are dropped)."""
+        return sum(len(sess.flush()) for _, sess in self.groups.values())
+
     def process_wideband(self, iq: np.ndarray) -> int:
         """One wideband block [n_bins * block_len] complex64 (or plane
         pair). Returns total telemetry updates."""

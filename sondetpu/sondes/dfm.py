@@ -164,15 +164,23 @@ class DFMDecoder(SondeDecoderBase):
 
     def __init__(self):
         # per pipeline channel: measurement values, DAT subframe bit
-        # payloads, serial chunks, highest-seen config channel
+        # payloads, serial chunks, per-config-channel sighting counts
         self._meas: Dict[int, Dict[int, float]] = {}
         self._sub: Dict[int, Dict[int, np.ndarray]] = {}
-        self._sn: Dict[int, Dict[int, int]] = {}
-        self._maxch: Dict[int, int] = {}
+        self._sn: Dict[int, Dict[int, dict]] = {}
+        self._chseen: Dict[int, Dict[int, int]] = {}
 
     def reset_channel(self, channel: int) -> None:
-        for d in (self._meas, self._sub, self._sn, self._maxch):
+        for d in (self._meas, self._sub, self._sn, self._chseen):
             d.pop(channel, None)
+
+    def _serial_channel(self, ch: int) -> int:
+        """The config channel carrying the serial = the highest one seen at
+        least TWICE (a single Hamming-decodable corruption with a bogus
+        high channel nibble must not latch and suppress the real one)."""
+        seen = self._chseen.get(ch, {})
+        cands = [c for c, n in seen.items() if c >= 5 and n >= 2]
+        return max(cands) if cands else 0
 
     def decode_byte_frames(self, frames: np.ndarray, channels
                            ) -> List[Tuple[int, TelemetryFragment]]:
@@ -226,30 +234,32 @@ class DFMDecoder(SondeDecoderBase):
 
     def _conf(self, chan: int, val: int, ch: int, frag: TelemetryFragment) -> None:
         meas = self._meas.setdefault(ch, {})
-        self._maxch[ch] = max(self._maxch.get(ch, 0), chan)
+        seen = self._chseen.setdefault(ch, {})
+        seen[chan] = seen.get(chan, 0) + 1
         if chan <= 4:
             meas[chan] = fl24(val)
             self._emit_ptu(meas, frag)
             return
-        # config/serial channel: the highest one carries the serial and
-        # names the subtype
-        if chan != self._maxch[ch]:
+        # config/serial channel: record every high channel's payload, but
+        # EMIT only from the highest reliably-seen one (>= 2 sightings)
+        store = self._sn.setdefault(ch, {}).setdefault(chan, {})
+        if chan == 0x6:
+            store["bcd"] = val
+        else:
+            store[val & 0xF] = (val >> 4) & 0xFFFF
+        if chan != self._serial_channel(ch):
             return
         if chan == 0x6:                        # DFM06: 6 BCD digits
-            serial = "%06X" % val
-            frag.serial = serial
+            frag.serial = "%06X" % store["bcd"]
             frag.fields |= Fields.SERIAL
-            return
-        chunks = self._sn.setdefault(ch, {})
-        chunks[val & 0xF] = (val >> 4) & 0xFFFF
-        if 0 in chunks and 1 in chunks:
-            sn = (chunks[0] << 16) | chunks[1]
+        elif 0 in store and 1 in store:
+            sn = (store[0] << 16) | store[1]
             frag.serial = str(sn)
             frag.fields |= Fields.SERIAL
 
     def subtype(self, ch: int) -> Optional[str]:
         """Detected DFM variant for a pipeline channel (DFM06/09/17...)."""
-        return DFM_TYPES.get(self._maxch.get(ch, 0))
+        return DFM_TYPES.get(self._serial_channel(ch))
 
     def _emit_ptu(self, meas: Dict[int, float], frag: TelemetryFragment) -> None:
         have = [k for k in (0, 3, 4) if k in meas]
@@ -321,12 +331,15 @@ class DFMModulator:
         bits[0:16] = np_bytes_to_bits(np.frombuffer(SYNCWORD, np.uint8))
 
         sel = self.CONF_CYCLE[k % len(self.CONF_CYCLE)]
-        if sel == "sn0":
+        if sel in ("sn0", "sn1"):
             chan = truth.subtype
-            val = (((truth.serial_num >> 16) & 0xFFFF) << 4) | 0
-        elif sel == "sn1":
-            chan = truth.subtype
-            val = ((truth.serial_num & 0xFFFF) << 4) | 1
+            if truth.subtype == 0x6:
+                # DFM06: the serial is 6 BCD digits in one transmission
+                val = int("%06d" % (truth.serial_num % 1000000), 16)
+            elif sel == "sn0":
+                val = (((truth.serial_num >> 16) & 0xFFFF) << 4) | 0
+            else:
+                val = ((truth.serial_num & 0xFFFF) << 4) | 1
         elif sel == 0:
             chan = 0
             r = ntc_resistance(truth.temp)

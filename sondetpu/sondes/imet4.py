@@ -37,6 +37,7 @@ packets carry no velocity (no DATA_SPEED, decoder.hpp:74-79) and no date
 from __future__ import annotations
 
 import struct
+import time as _time
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -184,7 +185,19 @@ class IMET4Decoder(SondeDecoderBase):
             frag.lat, frag.lon = float(lat), float(lon)
             frag.alt = float(alt_raw) - 5000.0
             frag.fields |= Fields.POS
-        frag.time = hh * 3600.0 + mm * 60.0 + ss   # UTC seconds-of-day
+        # iMet transmits only hh:mm:ss — no date. Telemetry time is epoch
+        # seconds like every other family (the GPX/JSONL sinks expect it):
+        # the date comes from the receiver clock, as the decoder ecosystem
+        # conventionally does; near-midnight wraps pick the closer day.
+        sod = hh * 3600.0 + mm * 60.0 + ss
+        now = _time.time()
+        midnight = now - (now % 86400.0)
+        epoch = midnight + sod
+        if epoch - now > 43200.0:
+            epoch -= 86400.0
+        elif now - epoch > 43200.0:
+            epoch += 86400.0
+        frag.time = epoch
         frag.fields |= Fields.TIME
         # iMet serial is not transmitted; the conventional station id is
         # derived host-side (frequency+time hash in the ecosystem). Use a

@@ -216,3 +216,36 @@ def test_m10_chase_repair_buys_snr():
     dec_without = without.metrics.frames_decoded
     assert dec_with >= 9, (dec_with, dec_without)
     assert dec_with >= dec_without + 3, (dec_with, dec_without)
+
+
+def test_dfm06_subtype_bcd_serial():
+    """DFM06 subtype: the serial travels as 6 BCD digits on config channel
+    6 (not the chunked DFM09 scheme) and the subtype detector reports it."""
+    from sondetpu.sondes.dfm import DFMModulator, DFMTruth
+
+    mod = DFMModulator()
+    truths = [DFMTruth(frame_no=5 + i, subtype=0x6, serial_num=123456)
+              for i in range(10)]
+    iq = mod.modulate(truths)
+    sess = _run("dfm", iq)
+    t = sess.telemetry[0]
+    assert t.serial == "123456"
+    assert sess.decoder.subtype(0) == "DFM06"
+
+
+def test_dfm_serial_channel_resists_corrupt_high_channel():
+    """One bogus high config channel (a Hamming-decodable corruption) must
+    not latch as the serial channel and suppress the real one."""
+    from sondetpu.sondes.dfm import DFMDecoder, DFMModulator, DFMTruth
+
+    mod = DFMModulator()
+    dec = DFMDecoder()
+    # frame with a fake channel 0xF conf block
+    bogus = DFMTruth(frame_no=1, subtype=0xF, serial_num=99)
+    frames = [mod.build_frame(bogus, 2)]          # sn0 slot -> channel 0xF
+    frames += [mod.build_frame(DFMTruth(frame_no=2 + k), k)
+               for k in range(10)]
+    frags = dec.decode_byte_frames(np.stack(frames), np.zeros(11, int))
+    serials = {f.serial for _, f in frags if f.serial}
+    assert "1234567" in serials                   # real DFM09 serial wins
+    assert dec.subtype(0) == "DFM09"
