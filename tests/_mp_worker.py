@@ -47,6 +47,34 @@ for i in range(0, iq.shape[1] - 48000 + 1, 48000):
 
 fan = sess.telemetry_fanin()
 met = sess.metrics_fanin()
+
+# wideband fleet over the same 2-process mesh: 8 RS41 channels in 8 PFB
+# bins, the rs41 group sharded over the ('host','chip') product — every
+# process PFBs the whole wideband locally but decodes only its channel
+# shard (runtime/fleet.py multiprocess feed path)
+from sondetpu.runtime.fleet import FleetChannel, FleetSession  # noqa: E402
+from sondetpu.sondes.modulate import freq_shift, gfsk_modulate  # noqa: E402
+
+n_bins = 8
+fs_wide = n_bins * 48000.0
+fleet = FleetSession([FleetChannel(pfb_bin=k, sonde="rs41")
+                      for k in range(8)], n_bins=n_bins, mesh=mesh)
+bits = mod.frames_to_bits(np.stack(
+    [mod.build_frame(RS41Truth(frame_no=70 + i)) for i in range(3)]))
+centers = fleet.pfb.center_freqs(fs_wide)
+w = n_bins * 48000
+sigs = [freq_shift(gfsk_modulate(bits, fs_wide / 4800.0, 2400.0 / fs_wide,
+                                 bt=0.5), centers[k] / fs_wide)
+        for k in range(8)]
+n = ((max(x.size for x in sigs) + w - 1) // w) * w
+wide = np.zeros(n, np.complex64)
+for x in sigs:
+    wide[:x.size] += x
+for i in range(0, n - w + 1, w):
+    fleet.process_wideband(wide[i:i + w])
+fleet_sess = fleet.groups["rs41"][1]
+fleet_fan = fleet_sess.telemetry_fanin()
+
 print(json.dumps({
     "pid": pid,
     "local_telemetry": sorted(sess.telemetry),
@@ -56,4 +84,6 @@ print(json.dumps({
     "serial0": (sess.telemetry.get(min(sess.telemetry), None) or
                 type("x", (), {"serial": ""})).serial,
     "metrics": met,
+    "fleet_local": sorted(fleet_sess.telemetry),
+    "fleet_fan": sorted(fleet_fan),
 }))

@@ -57,3 +57,10 @@ def test_two_process_shard_readback_and_fanin():
         # metrics psum: both processes agree on cluster totals
         assert results[pid]["metrics"]["frames_decoded"] >= 8
     assert results[0]["metrics"] == results[1]["metrics"]
+
+    # wideband fleet over the same mesh: each process decodes only its
+    # channel shard of the rs41 group; fan-in sees all 8 on both
+    assert results[0]["fleet_local"] == [0, 1, 2, 3]
+    assert results[1]["fleet_local"] == [4, 5, 6, 7]
+    for pid in (0, 1):
+        assert results[pid]["fleet_fan"] == list(range(8))
