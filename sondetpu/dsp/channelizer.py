@@ -22,6 +22,7 @@ blocks, so chunked channelization equals unchunked exactly.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -114,10 +115,6 @@ class PFBChannelizer:
         # prototype lowpass at the channel Nyquist, unity passband
         proto = design_lowpass(cutoff_frac, float(self.n), L + 1)[:L] * self.n
         self._hbank = proto.reshape(self.tpp, self.n).T.astype(np.float32)  # [N, tpp]
-        # ONE compiled program per block instead of eager op-by-op dispatch
-        # (pathological over an RTT-dominated device link); outputs stay on
-        # device for the downstream per-group gathers (runtime/fleet.py)
-        self._jit_call = jax.jit(self._impl)
 
     @property
     def history(self) -> int:
@@ -141,8 +138,11 @@ class PFBChannelizer:
     def __call__(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
         """One block: wideband planes [W] (W % N == 0) ->
         (state, y_i [N, W/N], y_q [N, W/N]). Jit-compiled; results are
-        device-resident."""
-        return self._jit_call(state, x_i, x_q)
+        device-resident. The compiled program is cached MODULE-wide keyed
+        on (n, tpp) + shapes, so code that constructs fresh channelizers
+        per use (scan probes, AutoFleet rebuilds) does not re-trace."""
+        return _pfb_jit(self.n, self.tpp, jnp.asarray(self._hbank),
+                        state, x_i, x_q)
 
     def _impl(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
         n, tpp = self.n, self.tpp
@@ -179,3 +179,14 @@ class PFBChannelizer:
             tail_i=jnp.concatenate([state.tail_i, x_i])[-L:],
             tail_q=jnp.concatenate([state.tail_q, x_q])[-L:])
         return new_state, y_i, y_q
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pfb_jit(n: int, tpp: int, hbank: jax.Array, state: ChannelizerState,
+             x_i: jax.Array, x_q: jax.Array):
+    """Module-level compiled PFB step: one cache entry per (n, tpp, shapes)
+    shared by every PFBChannelizer instance."""
+    shell = PFBChannelizer.__new__(PFBChannelizer)
+    shell.n, shell.tpp = n, tpp
+    shell._hbank = hbank
+    return shell._impl(state, x_i, x_q)

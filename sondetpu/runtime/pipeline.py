@@ -190,10 +190,29 @@ class PipelineConfig:
         return int(self.spec.extra.get("chase_m", 0))
 
     @property
+    def chase_spans(self) -> tuple:
+        """Bit ranges the weakest-bit ranking runs over — one top-M list
+        per span. Multi-subtype windows declare extra['chase_spans'] so a
+        SHORT subtype (M20 inside the M10-sized window) gets candidates
+        inside ITS checksum span rather than in the noise tail beyond its
+        frame; the host chases over the union of all lists."""
+        if not self.chase_m:
+            return ()
+        spans = self.spec.extra.get("chase_spans")
+        if spans is None:
+            return ((0, self.spec.frame_bytes * 8),)
+        return tuple(tuple(s) for s in spans)
+
+    @property
+    def chase_total(self) -> int:
+        """Weak indices per frame on the wire: M per span."""
+        return self.chase_m * len(self.chase_spans)
+
+    @property
     def packed_row_bytes(self) -> int:
         """Per-channel width of the flat packed readback buffer."""
         k = self.k_slots
-        return k * self.wire_ncols + 2 * k + 4 + 2 * k * self.chase_m
+        return k * self.wire_ncols + 2 * k + 4 + 2 * k * self.chase_total
 
 
 class PipelineState(NamedTuple):
@@ -694,7 +713,13 @@ class Pipeline:
                 chips = jnp.where(soft_fr > 0, jnp.uint8(1), jnp.uint8(0))
                 rel = jnp.minimum(jnp.abs(soft_fr[..., 0::2]),
                                   jnp.abs(soft_fr[..., 1::2]))
-                _, weak = jax.lax.top_k(-rel, c.chase_m)    # [C, K, M]
+                # one top-M list per declared span (chase_spans): a short
+                # subtype's candidates stay inside its own checksum range
+                lists = []
+                for a, b in c.chase_spans:
+                    _, idx = jax.lax.top_k(-rel[..., a:b], c.chase_m)
+                    lists.append(idx + np.int32(a))
+                weak = jnp.concatenate(lists, axis=-1)      # [C, K, S*M]
             else:
                 # hard path: gather hard chips (uint8) only (jnp.where for
                 # the same axon fusion miscompile as the nrz path above)

@@ -175,31 +175,41 @@ class DecoderSession:
 
     def local_channels(self) -> List[int]:
         """Global channel indices whose state/output this process holds
-        (all channels in a single-process run)."""
+        (all channels in a single-process run). Derived from the state's
+        actual sharding, not from an assumed contiguous-slab layout — a
+        permuted device order or ('chip','host') axis order changes which
+        rows a process owns."""
         import jax
-        if self.mesh is None or jax.process_count() <= 1:
+        leaf = getattr(self.state, "chipbuf", None)
+        if (self.mesh is None or not isinstance(leaf, jax.Array)
+                or leaf.is_fully_addressable):
             return list(range(self.config.channels))
-        per = self.config.channels // jax.process_count()
-        pid = jax.process_index()
-        return list(range(pid * per, (pid + 1) * per))
+        chans = set()
+        for sh in leaf.addressable_shards:
+            sl = sh.index[0]
+            stop = self.config.channels if sl.stop is None else sl.stop
+            chans.update(range(sl.start or 0, stop))
+        return sorted(chans)
 
     def _handle_output(self, out: BlockOutput):
         from sondetpu.runtime.pipeline import unpack_block_output
         updates: List[Tuple[int, SondeTelemetry]] = []
         frames_total = 0
         frags_total = 0
-        soft_rms = None
+        # full-length quality vector: consumers (CLI table, metrics) index
+        # it by GLOBAL channel id, so multi-process parts land at their
+        # channel base (non-local channels read 0)
+        soft_rms = np.zeros(self.config.channels, np.float32)
         for ch_base, packed in self._packed_parts(out):
             res = unpack_block_output(packed, self.config.k_slots,
                                       self.config.wire_ncols,
-                                      self.config.chase_m)
+                                      self.config.chase_total)
             weak_all = None
             if self.config.chase_m:
                 all_frames, valid, rs_clean, part_rms, weak_all = res
             else:
                 all_frames, valid, rs_clean, part_rms = res
-            soft_rms = part_rms if soft_rms is None else np.concatenate(
-                [soft_rms, part_rms])
+            soft_rms[ch_base:ch_base + part_rms.size] = part_rms
             if not valid.any():
                 continue
             ch_idx, slot_idx = np.nonzero(valid)

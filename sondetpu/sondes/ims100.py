@@ -30,7 +30,7 @@ provenance audit in PROTOCOLS.md "ims100"):
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -111,11 +111,8 @@ _ODD_BLOCKS = slice(0, 4)     # bytes 0x00-0x0D -> bits 0..111 -> blocks 0-3
 class IMS100Decoder(SondeDecoderBase):
     spec = SPEC
 
-    def __init__(self):
-        self._halves: Dict[int, Dict[int, bytes]] = {}
-
     def reset_channel(self, channel: int) -> None:
-        self._halves.pop(channel, None)
+        pass                                  # stateless per subframe
 
     def decode_byte_frames(self, frames: np.ndarray, channels
                            ) -> List[Tuple[int, TelemetryFragment]]:
@@ -144,8 +141,6 @@ class IMS100Decoder(SondeDecoderBase):
         frag.seq, = struct.unpack("<H", p[0:2].tobytes())
         frag.fields |= Fields.SEQ
         half = frag.seq & 1
-        halves = self._halves.setdefault(ch, {})
-        halves[half] = p.tobytes()
         if half == 0:
             tow_ms, week = struct.unpack("<IH", p[2:8].tobytes())
             lat, lon, alt_cm = struct.unpack("<iii", p[8:20].tobytes())

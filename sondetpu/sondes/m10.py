@@ -35,7 +35,7 @@ reference's single M10/M20 entry, main.hpp:48).
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -65,9 +65,12 @@ SPEC = ProtocolSpec(
     extra={"abs_corr": True,     # biphase-M polarity ambiguity
            # M20 subtype shares the channel but has its own length/type
            "alt_syncword": bytes([0xAA, 0xAA, 0x45, 0x20]),
-           # soft-decision assist: device ranks the 8 weakest decoded bits
-           # per frame for the host's Chase checksum repair
-           "chase_m": 8},
+           # soft-decision assist: device ranks the 8 weakest decoded
+           # bits per frame for the host's Chase checksum repair — once
+           # over the full M10 window and once over the M20 subframe span
+           # so short M20 frames get in-frame candidates (PROTOCOLS.md)
+           "chase_m": 8,
+           "chase_spans": ((0, (2 + M10_LEN) * 8), (0, (2 + M20_LEN) * 8))},
 )
 
 # Shibaura PB5-41E NTC Steinhart-Hart (1/T = p0+p1*L+p2*L^2+p3*L^3, L=lnR)
@@ -172,7 +175,8 @@ class M10Decoder(SondeDecoderBase):
         is the only way to buy back SNR)."""
         import itertools
         nbits = w.size * 8
-        weak = [int(b) for b in np.asarray(weak).ravel() if 0 <= int(b) < nbits]
+        weak = list(dict.fromkeys(                       # dedupe span lists
+            int(b) for b in np.asarray(weak).ravel() if 0 <= int(b) < nbits))
         cands = [(i,) for i in range(len(weak))]
         cands += list(itertools.combinations(range(len(weak)), 2))
         for cand in cands:
@@ -206,6 +210,7 @@ class M10Decoder(SondeDecoderBase):
             frag.rh = float("nan")            # no RH on M20 (README.md:13)
             frag.pressure = 0.0
             frag.calib_percent = 100.0
+            frag.fields |= Fields.PTU
         else:
             adc, = struct.unpack(">H", f[0x49:0x4B].tobytes())
             frag.temp = ntc_temp(adc)
@@ -217,8 +222,6 @@ class M10Decoder(SondeDecoderBase):
             serial = m10_serial(f[0x5D:0x62])
             frag.serial = serial
             frag.fields |= Fields.SERIAL
-        if is_m20:
-            frag.fields |= Fields.PTU
         return frag
 
 

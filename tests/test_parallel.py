@@ -186,12 +186,19 @@ def test_sharded_session_2d_mesh_decodes():
 
 def test_fanin_rows_roundtrip():
     from sondetpu.parallel import fanin
+    from sondetpu.telemetry import SondeTelemetry
 
-    rows = np.array([[3, 45.0, 9.0, 12000.0, 9.4, 32.0, 4.5,
-                      -42.5, 35.0, 193.3, 1.7e9, 107]], np.float32)
+    t = SondeTelemetry()
+    t.lat, t.lon, t.alt = 45.0, 9.0, 12000.0
+    t.time, t.seq = 1_700_000_045.0, 107
+    rows = fanin.telemetry_rows({3: t})
     got = fanin.allgather_rows(rows)
     assert got.shape == rows.shape
     d = fanin.rows_to_dict(got)
     assert d[3]["lat"] == pytest.approx(45.0)
-    tot = fanin.sum_counts([5, 7])
-    np.testing.assert_allclose(tot, [5.0, 7.0])
+    # epoch time survives the 32-bit wire EXACTLY (split day/second-of-day;
+    # a single float32 would quantize 1.7e9 to ~128 s steps)
+    assert d[3]["time"] == pytest.approx(1_700_000_045.0, abs=0.01)
+    # counters beyond float32's 2^24 exact range stay integer-exact
+    tot = fanin.sum_counts([5, 7, 16_777_217, 2_500_000_001])
+    np.testing.assert_array_equal(tot, [5, 7, 16_777_217, 2_500_000_001])

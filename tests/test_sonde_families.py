@@ -249,3 +249,26 @@ def test_dfm_serial_channel_resists_corrupt_high_channel():
     serials = {f.serial for _, f in frags if f.serial}
     assert "1234567" in serials                   # real DFM09 serial wins
     assert dec.subtype(0) == "DFM09"
+
+
+def test_m20_chase_repair_uses_subframe_span():
+    """M20 frames are shorter than the shared gather window; the dual-span
+    weak-bit ranking (chase_spans) must give them IN-FRAME candidates —
+    without it the top-ranked 'weak' bits land in the noise tail past the
+    70-byte frame and the repair never fires (measured 11 vs 5 of 12 at
+    7 dB)."""
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth, SPEC
+
+    mod = M10Modulator()
+    iq = mod.modulate([M10Truth(frame_no=60 + i, m20=True) for i in range(12)])
+
+    with_chase = _run("m10", iq, snr_db=7.0, seed=5)
+    saved = {k: SPEC.extra.pop(k) for k in ("chase_m", "chase_spans")}
+    try:
+        without = _run("m10", iq, snr_db=7.0, seed=5)
+    finally:
+        SPEC.extra.update(saved)
+    dec_with = with_chase.metrics.frames_decoded
+    dec_without = without.metrics.frames_decoded
+    assert dec_with >= 9, (dec_with, dec_without)
+    assert dec_with >= dec_without + 3, (dec_with, dec_without)
