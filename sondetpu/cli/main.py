@@ -70,19 +70,27 @@ def _truth_class(sonde: str):
     raise KeyError(f"no Truth class for {sonde}")
 
 
-def _make_sinks(args, default_type=""):
-    from sondetpu.io import GPXWriter, JSONLWriter, PTUWriter
+def _make_sinks(args, default_type="", multi=False):
+    from sondetpu.io import GPXWriter, JSONLWriter, MultiGPXWriter, PTUWriter
 
-    gpx = GPXWriter(args.gpx) if args.gpx else None
+    # mixed fleets write one <trk> per sonde with per-serial dedup
+    # (a single-track writer would thrash and cross-drop points)
+    gpx = ((MultiGPXWriter(args.gpx) if multi else GPXWriter(args.gpx))
+           if args.gpx else None)
     ptu = PTUWriter(args.ptu) if args.ptu else None
     jsonl = JSONLWriter(args.jsonl) if args.jsonl else None
 
     def on_update(ch, telem, sonde_type=default_type):
         if gpx:
-            if telem.serial:
-                gpx.start_track(telem.serial)      # per-serial tracks (gpx.cpp:39)
-            gpx.add_track_point(telem.time, telem.lat, telem.lon, telem.alt,
-                                telem.spd, telem.hdg)
+            if multi:
+                gpx.add_track_point(telem.serial, telem.time, telem.lat,
+                                    telem.lon, telem.alt, telem.spd,
+                                    telem.hdg)
+            else:
+                if telem.serial:
+                    gpx.start_track(telem.serial)  # per-serial tracks (gpx.cpp:39)
+                gpx.add_track_point(telem.time, telem.lat, telem.lon,
+                                    telem.alt, telem.spd, telem.hdg)
         if ptu:
             ptu.add_point(telem)
         if jsonl:
@@ -163,11 +171,12 @@ def cmd_decode(args) -> int:
             src = IntIQFileSource(args.iq, block_len=cfg.block_len, fmt=fmt)
             src_iter = ((pi, pq) for pi, pq, _ in src.blocks())
         else:
+            from sondetpu.io.iq import c64_to_planes
             src = IQFileSource(args.iq, block_len=cfg.block_len,
                                fmt=args.format)
-            src_iter = ((np.ascontiguousarray(b.real, dtype=np.float32),
-                         np.ascontiguousarray(b.imag, dtype=np.float32))
-                        for b, _ in src.blocks())
+            # c64_to_planes uses the native deinterleaver when built — this
+            # loop is the per-block host hot path
+            src_iter = (c64_to_planes(b) for b, _ in src.blocks())
         for pi, pq in src_iter:
             if cfg.channels > 1:
                 pi = np.tile(pi[None, :], (cfg.channels, 1))
@@ -258,7 +267,7 @@ def _decode_wideband(args, cfg) -> int:
         k, resid = bin_and_offset(entry.center_freq, fs_chan, n_bins)
         chans.append(FleetChannel(pfb_bin=k, sonde=entry.sonde, offset_hz=resid))
 
-    on_update, sinks = _make_sinks(args)
+    on_update, sinks = _make_sinks(args, multi=True)
     latest = {}
 
     def fleet_update(ch, sonde, t):
@@ -277,7 +286,9 @@ def _decode_wideband(args, cfg) -> int:
     w = n_bins * cfg.block_len
     if args.stream:
         from sondetpu.io.iq import StreamingIQSource
-        blk_iter = ((pi + 1j * pq).astype(np.complex64) for pi, pq, _ in
+        # plane pairs go straight through (no complex materialization on
+        # the wideband hot path; FleetSession splits planes itself)
+        blk_iter = ((pi, pq) for pi, pq, _ in
                     StreamingIQSource(args.iq, block_len=w,
                                       fmt=args.format).blocks())
     else:
@@ -319,7 +330,7 @@ def _decode_wideband_auto(args, cfg, n_bins) -> int:
     from sondetpu.io.iq import IQFileSource, StreamingIQSource
     from sondetpu.runtime.autofleet import AutoFleet
 
-    on_update, sinks = _make_sinks(args)
+    on_update, sinks = _make_sinks(args, multi=True)
 
     def auto_update(ch, sonde, t):
         on_update(ch, t, sonde)
@@ -334,6 +345,10 @@ def _decode_wideband_auto(args, cfg, n_bins) -> int:
                      compute_dtype=cfg.compute_dtype, afc=args.afc or cfg.afc,
                      drop_idle_blocks=args.drop_idle,
                      use_pallas=cfg.use_pallas,
+                     families=(args.families.split(",") if args.families
+                               else None),
+                     min_snr_db=args.min_snr,
+                     probe_blocks=args.probe_blocks,
                      on_update=auto_update, on_change=on_change)
     if args.resume:
         from sondetpu.runtime import checkpoint as ckpt
@@ -342,7 +357,7 @@ def _decode_wideband_auto(args, cfg, n_bins) -> int:
               f"({len(auto.tracked)} tracked)", file=sys.stderr)
     w = n_bins * cfg.block_len
     if args.stream:
-        blk_iter = ((pi + 1j * pq).astype(np.complex64) for pi, pq, _ in
+        blk_iter = ((pi, pq) for pi, pq, _ in
                     StreamingIQSource(args.iq, block_len=w,
                                       fmt=args.format).blocks())
     else:
@@ -523,6 +538,13 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--drop-idle", type=int, default=0,
                     help="--auto: drop a tracked sonde after N blocks "
                          "without telemetry (0 = never)")
+    pd.add_argument("--families", default=None,
+                    help="comma list restricting --auto decode probes "
+                         "(default: every registered family)")
+    pd.add_argument("--min-snr", type=float, default=8.0,
+                    help="carrier detection threshold for --auto rescans, dB")
+    pd.add_argument("--probe-blocks", type=int, default=2,
+                    help="wideband blocks buffered for --auto decode probes")
     pd.set_defaults(fn=cmd_decode)
 
     pf = sub.add_parser("fer", help="frame-error-rate vs SNR sweep")
@@ -582,3 +604,4 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+

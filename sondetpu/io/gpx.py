@@ -17,6 +17,7 @@ Re-implements the reference GPX sink semantics (src/gpx.cpp:9-120):
 from __future__ import annotations
 
 import math
+import os
 import time as _time
 from typing import Optional
 
@@ -80,8 +81,12 @@ class GPXWriter:
         if self._track_active:
             self.stop_track()
         self._serial = name
+        from xml.sax.saxutils import escape
         self._fd.seek(self._offset)
-        self._fd.write(f"<trk>\n<name>{name}</name>\n<trkseg>\n".encode())
+        # escape &, <, > — isgraph admits them, and the file's core
+        # invariant is "always well-formed XML"
+        self._fd.write(
+            f"<trk>\n<name>{escape(name)}</name>\n<trkseg>\n".encode())
         self._offset = self._fd.tell()
         self._track_active = True
         self._terminate_file()
@@ -134,3 +139,83 @@ class GPXWriter:
         self._fd.truncate()
         self._fd.flush()
         self._offset = saved
+
+
+class MultiGPXWriter:
+    """GPX writer for MIXED fleets: one <trk> per sonde serial with
+    PER-SERIAL dedup state, safe under interleaved updates from many
+    concurrent sondes (a single GPXWriter would thrash start_track on
+    every alternation and its writer-global dedup would drop points whose
+    timestamps collide across sondes). The file is rewritten atomically
+    (tmp + replace) so it is always complete, well-formed XML — the same
+    crash-safety contract as GPXWriter's terminate-file trick."""
+
+    FLUSH_EVERY = 8          # rewrites are O(total points); amortize
+
+    def __init__(self, path: str = ""):
+        self._path = ""
+        self._tracks: "dict[str, list[str]]" = {}
+        self._last: "dict[str, tuple]" = {}
+        self._pending = 0
+        if path:
+            if not self.init(path):
+                raise OSError(f"cannot open GPX output {path!r}")
+
+    def init(self, path: str) -> bool:
+        try:
+            with open(path, "wb") as f:
+                f.write(_GPX_HEADER.encode())
+                f.write(b"</gpx>\n")
+        except OSError:
+            return False
+        self._path = path
+        return True
+
+    def add_track_point(self, serial: str, time: float, lat: float,
+                        lon: float, alt: float, spd: float, hdg: float) -> None:
+        if not self._path or not serial:
+            return
+        if any((not c.isprintable()) or c.isspace() for c in serial):
+            return
+        if math.isnan(lat) or math.isnan(lon) or math.isnan(alt):
+            return
+        if lat == 0 and lon == 0 and alt == 0:
+            return
+        last = self._last.get(serial)
+        if last is not None and (time == last[0] or
+                                 (lat, lon, alt) == last[1:]):
+            return
+        self._last[serial] = (time, lat, lon, alt)
+        timestr = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(time))
+        self._tracks.setdefault(serial, []).append(
+            f'<trkpt lat="{lat:f}" lon="{lon:f}">\n'
+            f"<time>{timestr}</time>\n"
+            f"<ele>{alt:f}</ele>\n"
+            f"<speed>{spd:f}</speed>\n"
+            f"<course>{hdg:f}</course>\n"
+            f"</trkpt>\n")
+        self._pending += 1
+        if self._pending >= self.FLUSH_EVERY:
+            self._rewrite()
+
+    def _rewrite(self) -> None:
+        from xml.sax.saxutils import escape
+        tmp = self._path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_GPX_HEADER.encode())
+            for serial, pts in self._tracks.items():
+                f.write(f"<trk>\n<name>{escape(serial)}</name>\n"
+                        f"<trkseg>\n".encode())
+                for p in pts:
+                    f.write(p.encode())
+                f.write(b"</trkseg>\n</trk>\n")
+            f.write(b"</gpx>\n")
+        os.replace(tmp, self._path)
+        self._pending = 0
+
+    def deinit(self) -> None:
+        if self._path:
+            self._rewrite()
+        self._path = ""
+
+    close = deinit

@@ -32,9 +32,15 @@ _native = None
 
 
 def _load_native():
-    """Load the optional C++ conversion library (sondetpu/native/libiqconv.so)."""
+    """Load the optional C++ conversion library (sondetpu/native/libiqconv.so).
+
+    SONDETPU_NO_NATIVE=1 disables it like every other native helper (the
+    kill-switch must remove ALL native code from the datapath)."""
     global _native
     if _native is not None:
+        return _native
+    if os.environ.get("SONDETPU_NO_NATIVE"):
+        _native = False
         return _native
     path = os.path.join(os.path.dirname(__file__), "..", "native", "libiqconv.so")
     path = os.path.abspath(path)
@@ -82,6 +88,7 @@ def convert_to_c64(raw: np.ndarray, fmt: str) -> np.ndarray:
         return np.ascontiguousarray(raw.astype(np.complex64))
     lib = _load_native()
     n = raw.size // 2
+    raw = raw[: 2 * n]          # a truncated file may end mid-sample
     if lib:
         out = np.empty(n, dtype=np.complex64)
         src = np.ascontiguousarray(raw)
@@ -286,6 +293,8 @@ class StreamingIQSource:
                 pi = np.empty(self.block_len, dtype=dt)
                 pq = np.empty(self.block_len, dtype=dt)
                 n = lib.iqs_read_raw(h, pi.ctypes.data, pq.ctypes.data)
+                if n == -2:
+                    continue    # stalled-FIFO timeout: lets Ctrl-C fire
                 if n < 0:
                     # native mode-mismatch guard (iqstream.cpp): a scaled-
                     # float handle was passed to the raw reader — a caller
@@ -325,6 +334,8 @@ class StreamingIQSource:
                 pi = np.empty(self.block_len, dtype=np.float32)
                 pq = np.empty(self.block_len, dtype=np.float32)
                 n = lib.iqs_read(h, pi.ctypes.data, pq.ctypes.data)
+                if n == -2:
+                    continue    # stalled-FIFO timeout: lets Ctrl-C fire
                 if n < 0:
                     raise RuntimeError(
                         "iqs_read returned %d (handle/mode mismatch)" % n)

@@ -21,7 +21,10 @@ class JSONLWriter:
         self._fd: Optional[IO[str]] = None
         self._owns = False
         if target is not None:
-            self.init(target)
+            if not self.init(target):
+                # match GPX/PTU: an unopenable sink is an error, not a
+                # silent run with zero telemetry written
+                raise OSError(f"cannot open JSONL output {target!r}")
 
     def init(self, target: str) -> bool:
         if self._fd and self._owns:

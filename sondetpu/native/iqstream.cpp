@@ -10,6 +10,12 @@
 //
 // Loaded via ctypes from sondetpu/io/iq.py (StreamingIQSource).
 
+#include <poll.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cerrno>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -49,7 +55,8 @@ struct Stream {
   std::vector<Slot> slots;
   std::vector<uint8_t> raw;
   size_t head = 0, tail = 0;  // head: next slot to fill, tail: next to read
-  bool eof = false, stop = false;
+  bool eof = false;
+  std::atomic<bool> stop{false};
   std::mutex mu;
   std::condition_variable cv_space, cv_data;
   std::thread reader;
@@ -121,17 +128,44 @@ struct Stream {
     }
   }
 
+  // Interruptible bulk read: poll with a 200 ms timeout between ::read
+  // calls so iqs_close's stop flag ends a reader blocked on a stalled
+  // FIFO (a plain fread would block forever and iqs_close's join with it
+  // — which is how Ctrl-C used to hang the whole decode process).
+  size_t read_full(uint8_t *dst, size_t want) {
+    const int fd = fileno(f);
+    size_t got = 0;
+    while (got < want && !stop.load(std::memory_order_relaxed)) {
+      struct pollfd pfd = {fd, POLLIN, 0};
+      const int pr = poll(&pfd, 1, 200);
+      if (pr < 0) {
+        if (errno == EINTR) continue;
+        break;
+      }
+      if (pr == 0) continue;                       // timeout: re-check stop
+      const ssize_t r = ::read(fd, dst + got, want - got);
+      if (r < 0) {
+        if (errno == EINTR || errno == EAGAIN) continue;
+        break;
+      }
+      if (r == 0) break;                           // true EOF
+      got += static_cast<size_t>(r);
+    }
+    return got;
+  }
+
   void run() {
     const size_t bpc = bytes_per_complex(fmt);
     for (;;) {
       std::unique_lock<std::mutex> lk(mu);
-      cv_space.wait(lk, [&] { return stop || !slots[head].ready; });
-      if (stop) return;
+      cv_space.wait(lk, [&] { return stop.load() || !slots[head].ready; });
+      if (stop.load()) return;
       Slot &s = slots[head];
       lk.unlock();
 
       const size_t want = static_cast<size_t>(block) * bpc;
-      size_t got = fread(raw.data(), 1, want, f);
+      size_t got = read_full(raw.data(), want);
+      if (stop.load(std::memory_order_relaxed)) return;
       const int64_t n = static_cast<int64_t>(got / bpc);
       if (n > 0) convert(raw.data(), s, n);
       s.n_valid = n;
@@ -201,7 +235,11 @@ int64_t iqs_read_raw(void *h, void *dst_i, void *dst_q) {
   Stream *s = static_cast<Stream *>(h);
   if (!s->raw_mode) return -1;  // opened with iqs_open: no integer planes
   std::unique_lock<std::mutex> lk(s->mu);
-  s->cv_data.wait(lk, [&] { return s->slots[s->tail].ready || s->eof; });
+  // bounded wait: a stalled FIFO must return control to Python so SIGINT
+  // (Ctrl-C -> checkpoint/finalize) can fire between calls; -2 = try again
+  if (!s->cv_data.wait_for(lk, std::chrono::milliseconds(200),
+                           [&] { return s->slots[s->tail].ready || s->eof; }))
+    return -2;
   Slot &sl = s->slots[s->tail];
   if (!sl.ready) return 0;
   const int64_t n = sl.n_valid;
@@ -221,7 +259,9 @@ int64_t iqs_read(void *h, float *dst_i, float *dst_q) {
   Stream *s = static_cast<Stream *>(h);
   if (s->raw_mode) return -1;  // opened with iqs_open_raw: no float planes
   std::unique_lock<std::mutex> lk(s->mu);
-  s->cv_data.wait(lk, [&] { return s->slots[s->tail].ready || s->eof; });
+  if (!s->cv_data.wait_for(lk, std::chrono::milliseconds(200),
+                           [&] { return s->slots[s->tail].ready || s->eof; }))
+    return -2;  // timeout: let the caller service signals and retry
   Slot &sl = s->slots[s->tail];
   if (!sl.ready) return 0;  // eof and ring drained
   const int64_t n = sl.n_valid;

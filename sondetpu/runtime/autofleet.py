@@ -198,7 +198,12 @@ class AutoFleet:
 
     def _rescan(self) -> None:
         self._refresh_centers()
-        wide = np.concatenate(self._recent)
+        # scan buffer entries are complex blocks or (i, q) plane pairs;
+        # complex is rebuilt only here, when a rescan actually runs
+        blocks = [b if not isinstance(b, tuple)
+                  else (b[0] + 1j * b[1]).astype(np.complex64)
+                  for b in self._recent]
+        wide = np.concatenate(blocks)
         carriers = detect_carriers(wide, self.fs_wide,
                                    min_snr_db=self.min_snr_db)
         fresh = [c for c in carriers if not self._known(c.center_hz)
@@ -234,22 +239,32 @@ class AutoFleet:
 
     # -- public -------------------------------------------------------------
 
-    def process_wideband(self, iq: np.ndarray) -> int:
-        """One wideband block [n_bins * block_len] complex64.  Returns
-        telemetry updates this block."""
-        iq = np.asarray(iq)
-        self._recent.append(iq)
+    def process_wideband(self, iq) -> int:
+        """One wideband block: [n_bins * block_len] complex64 or an
+        (i, q) float32 plane pair (the plane form avoids materializing a
+        complex copy on the streaming hot path; complex is only rebuilt
+        lazily when a rescan actually runs). Returns telemetry updates."""
+        if isinstance(iq, tuple):
+            pi, pq = iq
+            # keep planes for the fleet; the scan buffer stores the pair
+            # and _rescan combines lazily
+            self._recent.append((np.asarray(pi), np.asarray(pq)))
+            feed = (pi, pq)
+        else:
+            iq = np.asarray(iq)
+            self._recent.append(iq)
+            feed = iq
         if len(self._recent) > self.probe_blocks:
             self._recent.pop(0)
         updates = 0
         if self.fleet is not None:
-            updates = self.fleet.process_wideband(iq)
+            updates = self.fleet.process_wideband(feed)
         self.blocks_seen += 1
         # rescan on cadence; while the fleet is EMPTY scan every block once
         # the probe buffer fills (first acquisition should not wait out a
         # cadence) — the failed-classification cache bounds the cost when
         # the only emissions are unclassifiable
-        if (self.blocks_seen % self.rescan_blocks == 0
+        if (self.rescan_blocks and self.blocks_seen % self.rescan_blocks == 0
                 or (self.fleet is None
                     and len(self._recent) >= self.probe_blocks)):
             self._rescan()
