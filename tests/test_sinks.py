@@ -149,3 +149,55 @@ def test_iq_roundtrip(tmp_path):
     assert blocks[-1][1] == 1000 - 3 * 256
     total = np.concatenate([b for b, _ in blocks])[:1000]
     np.testing.assert_allclose(total, iq, atol=1e-7)
+
+
+def test_multi_gpx_interleaved_sondes(tmp_path):
+    """Mixed-fleet GPX: interleaved updates from two sondes with COLLIDING
+    timestamps produce two complete tracks (a single-track writer thrashed
+    and cross-dropped points), names XML-escaped, file well-formed."""
+    import xml.dom.minidom
+
+    from sondetpu.io.gpx import MultiGPXWriter
+
+    p = tmp_path / "multi.gpx"
+    w = MultiGPXWriter(str(p))
+    for i in range(6):
+        t = 1.7e9 + i                      # same second for both sondes
+        w.add_track_point("A123", t, 45.0 + i * 1e-3, 9.0, 1000.0 + i, 5, 90)
+        w.add_track_point("B&<7", t, 52.0 + i * 1e-3, 21.0, 2000.0 + i, 5, 90)
+    w.deinit()
+    doc = xml.dom.minidom.parse(str(p))    # parse == well-formed
+    trks = doc.getElementsByTagName("trk")
+    names = sorted(t.getElementsByTagName("name")[0].firstChild.nodeValue
+                   for t in trks)
+    assert names == ["A123", "B&<7"]
+    counts = [len(t.getElementsByTagName("trkpt")) for t in trks]
+    assert counts == [6, 6]
+
+
+def test_jsonl_unopenable_path_raises(tmp_path):
+    import pytest as _pytest
+
+    from sondetpu.io.jsonl import JSONLWriter
+
+    with _pytest.raises(OSError):
+        JSONLWriter(str(tmp_path / "no-such-dir" / "out.jsonl"))
+
+
+def test_convert_to_c64_truncated_file():
+    """A cs16 capture cut mid-sample must decode the whole samples, not
+    crash the NumPy fallback with a broadcast error."""
+    import os
+
+    from sondetpu.io.iq import convert_to_c64
+
+    os.environ["SONDETPU_NO_NATIVE"] = "1"
+    try:
+        import sondetpu.io.iq as iqmod
+        iqmod._native = None               # force reload under the switch
+        raw = np.arange(7, dtype=np.int16)     # odd scalar count
+        out = convert_to_c64(raw, "cs16")
+        assert out.shape == (3,)
+    finally:
+        os.environ.pop("SONDETPU_NO_NATIVE")
+        iqmod._native = None
