@@ -189,11 +189,11 @@ def test_convert_to_c64_truncated_file():
     crash the NumPy fallback with a broadcast error."""
     import os
 
+    import sondetpu.io.iq as iqmod
     from sondetpu.io.iq import convert_to_c64
 
     os.environ["SONDETPU_NO_NATIVE"] = "1"
     try:
-        import sondetpu.io.iq as iqmod
         iqmod._native = None               # force reload under the switch
         raw = np.arange(7, dtype=np.int16)     # odd scalar count
         out = convert_to_c64(raw, "cs16")
