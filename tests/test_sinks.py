@@ -189,6 +189,7 @@ def test_convert_to_c64_truncated_file():
     crash the NumPy fallback with a broadcast error."""
     import os
 
+    import numpy as np
     import sondetpu.io.iq as iqmod
     from sondetpu.io.iq import convert_to_c64
 
