@@ -67,11 +67,15 @@ def afsk_discriminate(audio: jax.Array, fs: float, f_mark: float, f_space: float
     box = jnp.ones(win, dtype=jnp.float32) / win
 
     def tone_energy(f):
-        lo = jnp.exp(-2j * jnp.pi * f * t)
-        mixed = audio.astype(jnp.complex64) * lo
+        # real LO planes (framework convention: no complex64 in compiled
+        # programs — several PJRT backends, incl. the pinned TPU, cannot
+        # execute them; cos/-sin mixing is mathematically identical)
+        w = 2.0 * jnp.pi * f
+        ci = audio * jnp.cos(w * t)
+        cq = -audio * jnp.sin(w * t)
         # integrate-and-dump via boxcar FIR on I and Q
-        i = fir_filter(mixed.real, box)
-        q = fir_filter(mixed.imag, box)
+        i = fir_filter(ci, box)
+        q = fir_filter(cq, box)
         return i * i + q * q
 
     return tone_energy(f_mark) - tone_energy(f_space)

@@ -35,9 +35,13 @@ def _blackman_harris(n: int) -> np.ndarray:
 
 
 def design_lowpass(cutoff_hz: float, fs: float, ntaps: int) -> np.ndarray:
-    """Windowed-sinc lowpass, Blackman-Harris window, unity DC gain."""
+    """Windowed-sinc lowpass, Blackman-Harris window, unity DC gain.
+
+    ``ntaps`` must be odd: callers size overlap-save carries from the
+    value they pass, so a silent +1 bump would desynchronize state shapes
+    (FIRState tails, halo widths) from the actual filter length."""
     if ntaps % 2 == 0:
-        ntaps += 1
+        raise ValueError(f"ntaps must be odd, got {ntaps}")
     n = np.arange(ntaps) - (ntaps - 1) / 2
     fc = cutoff_hz / fs
     h = np.sinc(2 * fc * n) * 2 * fc
@@ -149,6 +153,10 @@ def _conv1d_mxu(x: jax.Array, kernel: jax.Array, stride: int = 1,
     ntaps = kernel.shape[0]
     n = ln - ntaps + 1                      # valid outputs at stride 1
     T = block
+    if T % stride:
+        raise ValueError(
+            f"block {T} must be a stride ({stride}) multiple: each block "
+            "restarts the stride grid at its own boundary")
     nblk = -(-n // T)
     xp = jnp.pad(x, ((0, 0), (0, nblk * T + T - ln)))
     A = xp[:, : nblk * T].reshape(c, nblk, T)

@@ -10,13 +10,13 @@ static shapes.
 from __future__ import annotations
 
 from math import gcd
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sondetpu.dsp.fir import design_lowpass, fir_filter, _sliding_windows
+from sondetpu.dsp.fir import design_lowpass, fir_filter
 
 
 def polyphase_decimate(x: jax.Array, factor: int, taps: Optional[np.ndarray] = None,
@@ -29,15 +29,6 @@ def polyphase_decimate(x: jax.Array, factor: int, taps: Optional[np.ndarray] = N
         taps = design_lowpass(0.45 * fs / factor, fs, 8 * factor + 1)
     y = fir_filter(x, jnp.asarray(taps))
     return y[:, ::factor]
-
-
-class Resampler(NamedTuple):
-    """Precomputed rational resampler plan (static; baked into jit)."""
-
-    up: int
-    down: int
-    taps: np.ndarray          # prototype filter at rate fs*up
-    out_per_block: int        # outputs per input block (requires n % down_eff)
 
 
 def make_rational_resampler(fs_in: float, fs_out: float, ntaps_per_phase: int = 8):
@@ -81,8 +72,11 @@ def rational_resample(x: jax.Array, up: int, down: int, taps: np.ndarray) -> jax
     i = (m * down) // up          # input sample index
     p = (m * down) % up           # phase
     xp = jnp.pad(x, ((0, 0), (nph - 1, 0)))
-    win = _sliding_windows(xp, nph)            # [c, n, nph]; win[:, i, j] = x[i - nph + 1 + j]
-    sel = jnp.take(win, i, axis=1)             # [c, n_out, nph]
+    # gather ONLY the n_out needed windows (a full [c, n, nph] sliding-
+    # window tensor first would be an O(n * nph) memory blowup — the exact
+    # trap fir.py's _apply_windows documents)
+    pos = i[:, None] + jnp.arange(nph)[None, :]          # [n_out, nph]
+    sel = jnp.take(xp, pos, axis=1)                      # [c, n_out, nph]
     coeffs = bank[p][:, ::-1]                  # [n_out, nph] reversed for convolution
     return jnp.einsum("cnj,nj->cn", sel, coeffs)
 

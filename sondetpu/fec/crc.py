@@ -35,7 +35,7 @@ def crc16_ccitt(data: bytes | np.ndarray, init: int = 0xFFFF) -> int:
 
 def crc16_ccitt_batch(data: np.ndarray, init: int = 0xFFFF) -> np.ndarray:
     """CRC16-CCITT of a batch of messages: data [batch, n] -> crc [batch]."""
-    data = np.asarray(data, dtype=np.uint8)
+    data = np.atleast_2d(np.asarray(data, dtype=np.uint8))
     if data.ndim == 2:
         from sondetpu.fec import native
         if native.available():

@@ -36,6 +36,10 @@ class GF256:
     def div(self, a, b):
         a = np.asarray(a, dtype=np.int32)
         b = np.asarray(b, dtype=np.int32)
+        if np.any(b == 0):
+            # log[0] is a table placeholder: a silent division by zero
+            # would return a plausible-looking wrong field element
+            raise ZeroDivisionError("GF(256) division by zero")
         out = self.exp[(self.log[a] - self.log[b]) % 255]
         return np.where(a == 0, 0, out)
 

@@ -136,7 +136,9 @@ def _restore_fleet(fleet, payload: dict) -> None:
     if set(payload["groups"]) != set(fleet.groups):
         raise ValueError(f"checkpoint groups {sorted(payload['groups'])} != "
                          f"fleet groups {sorted(fleet.groups)}")
-    fleet.pfb_state = payload["pfb_state"]
+    # validate EVERY group before mutating anything: a half-restored fleet
+    # (pfb carry + some groups new, others old) would run desynced if the
+    # caller catches the error and carries on
     for sonde, g in payload["groups"].items():
         idxs, sess = fleet.groups[sonde]
         layout = [(fleet.channels[i].pfb_bin, fleet.channels[i].offset_hz)
@@ -145,6 +147,9 @@ def _restore_fleet(fleet, payload: dict) -> None:
             raise ValueError(f"channel layout changed for group {sonde!r}")
         _check_state_layout(g["pipeline_state"], sess.state,
                             f"fleet group {sonde!r}")
+    fleet.pfb_state = payload["pfb_state"]
+    for sonde, g in payload["groups"].items():
+        idxs, sess = fleet.groups[sonde]
         sess.state = g["pipeline_state"]
         sess.decoder.__dict__.update(g["decoder"])
         sess.telemetry = g["telemetry"]

@@ -77,6 +77,9 @@ class PipelineConfig:
     def __post_init__(self):
         if self.input_dtype not in ("f32", "i16", "i8"):
             raise ValueError(f"input_dtype {self.input_dtype!r}")
+        if self.ntaps % 2 == 0:
+            raise ValueError("ntaps must be odd (carry widths derive "
+                             "from it)")
         if self.compute_dtype not in ("f32", "bf16"):
             raise ValueError(f"compute_dtype {self.compute_dtype!r}")
         spec = get_sonde(self.sonde)["spec"]
@@ -604,7 +607,9 @@ class Pipeline:
         err = jnp.mod(tau - state.timing.pos + sps / 2.0, sps) - sps / 2.0
         corrected = state.timing.pos + jnp.clip(err, -0.5, 0.5)
         start = jnp.where(state.timing.locked > 0, corrected, tau)
-        start = jnp.mod(start, sps)
+        # clamp, don't wrap: crossing the 0/sps boundary via mod skips or
+        # repeats one symbol (see sync/timing.py symbol_sample)
+        start = jnp.clip(start, 0.0, sps - 1e-3)
         cpb = c.chips_per_block
         # exactly cpb chips fit (start in [0, sps), block % sps == 0)
         next_pos = start + cpb * sps - n

@@ -40,13 +40,16 @@ def find_frame_starts(corr: jax.Array, threshold: float, max_peaks: int,
                       min_distance: int):
     """Pick up to ``max_peaks`` correlation peaks per channel.
 
-    Two-level search: one max/argmax pass reduces the full correlation to
-    per-half-window block winners (any peak the naive iterative-suppression
-    algorithm accepts is the maximum of its own ``min_distance // 2`` block,
-    because a larger value that close would itself suppress it), then the
-    iterative argmax + +/-``min_distance`` suppression loop runs on the tiny
-    [C, n_blocks] candidate set. 2x faster than suppressing on the full
-    array (each suppression round re-reads the whole [C, n] buffer).
+    Two-level search: a max pass reduces the full correlation to per-half-
+    window block candidates, then the iterative argmax + +/-``min_distance``
+    suppression loop runs on the tiny candidate set. 2x faster than
+    suppressing on the full array (each suppression round re-reads the
+    whole [C, n] buffer). The TOP-2 of each block are kept as candidates:
+    with only the block max, a peak could be shadowed by a larger
+    same-block value that was itself suppressed by a third, even larger
+    peak — the runner-up covers that single-shadow case (deeper shadowing
+    needs three above-threshold peaks inside 1.5 min_distance, which real
+    frames, spaced >= 4 min_distance, cannot produce).
     Returns (starts [C, K] int32 sorted ascending, ok [C, K] bool).
     """
     c, n = corr.shape
@@ -55,8 +58,14 @@ def find_frame_starts(corr: jax.Array, threshold: float, max_peaks: int,
     cp = jnp.pad(corr, ((0, 0), (0, nb * half - n)),
                  constant_values=-jnp.inf)
     blocks = cp.reshape(c, nb, half)
-    cand_v = jnp.max(blocks, axis=-1)                       # [C, nb]
-    cand_p = jnp.argmax(blocks, axis=-1) + half * jnp.arange(nb)[None, :]
+    a1 = jnp.argmax(blocks, axis=-1)                        # [C, nb]
+    v1 = jnp.max(blocks, axis=-1)
+    masked = jnp.where(jax.nn.one_hot(a1, half, dtype=bool), -jnp.inf, blocks)
+    a2 = jnp.argmax(masked, axis=-1)
+    v2 = jnp.max(masked, axis=-1)
+    base = half * jnp.arange(nb)[None, :]
+    cand_v = jnp.concatenate([v1, v2], axis=-1)             # [C, 2*nb]
+    cand_p = jnp.concatenate([a1 + base, a2 + base], axis=-1)
     idxs = []
     oks = []
     work = cand_v

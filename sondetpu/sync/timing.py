@@ -95,7 +95,12 @@ def symbol_sample(state: TimingState, x: jax.Array, sps: float,
     err = jnp.mod(tau - state.pos + sps / 2.0, sps) - sps / 2.0
     corrected = state.pos + jnp.clip(err, -slew, slew)
     start = jnp.where(state.locked > 0, corrected, tau)
-    start = jnp.mod(start, sps)
+    # CLAMP (not wrap) at the [0, sps) boundary: a slew that crosses zero
+    # means the next center sits just before the block edge — wrapping by
+    # +sps would SKIP that symbol and shift the chip stream by one, the
+    # exact slip the slew limiter exists to prevent; the edge-clamping
+    # interpolator handles a center pinned at the boundary gracefully.
+    start = jnp.clip(start, 0.0, sps - 1e-3)
 
     k = jnp.arange(n_sym, dtype=jnp.float32)
     pos = start[:, None] + k[None, :] * sps          # [channels, n_sym]
