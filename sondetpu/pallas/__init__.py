@@ -12,9 +12,8 @@ is chosen by measurement (bench.py --pallas).
 """
 
 from sondetpu.pallas.frontend import (
-    fused_demod_fir, fused_demod_fir_chunked, fused_frontend, frontend_chunk,
-    fast_atan2)
+    fused_demod_fir, fused_frontend, frontend_chunk, fast_atan2)
 from sondetpu.pallas.corr import corr_kernel
 
-__all__ = ["fused_demod_fir", "fused_demod_fir_chunked", "fused_frontend",
+__all__ = ["fused_demod_fir", "fused_frontend",
            "frontend_chunk", "fast_atan2", "corr_kernel"]

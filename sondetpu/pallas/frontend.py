@@ -384,30 +384,3 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
         filt = filt - (jnp.sum(per_chunk, axis=-1) / n_valid)[:, None]
     return filt, new_tail_i, new_tail_q
 
-
-@functools.partial(jax.jit,
-                   static_argnames=("ntaps", "dc_block", "chunk", "interpret"))
-def fused_demod_fir_chunked(iq_i, iq_q, prev, atail, taps, scale, *,
-                            ntaps: int, dc_block: bool = True,
-                            chunk: int = 6000, interpret: bool = False):
-    """Time-chunked driver for :func:`fused_demod_fir`.
-
-    A full 1-second block at 48 kHz plus kernel temporaries exceeds the
-    ~16 MB VMEM budget, so the block is processed as static time chunks with
-    the demod prev-sample and FIR audio tail threaded between kernel calls
-    (the same carry discipline as between outer blocks). With dc_block the
-    DC estimate is per-chunk rather than per-block — a strictly faster
-    tracking of residual carrier drift.
-
-    Returns (filtered audio [C, n], next audio tail, next prev)."""
-    n = iq_i.shape[-1]
-    outs = []
-    for s in range(0, n, chunk):
-        ii = iq_i[:, s:s + chunk]
-        qq = iq_q[:, s:s + chunk]
-        filt, atail = fused_demod_fir(ii, qq, prev, atail, taps, scale,
-                                      ntaps=ntaps, dc_block=dc_block,
-                                      interpret=interpret)
-        prev = jnp.stack([ii[:, -1], qq[:, -1]], axis=-1)
-        outs.append(filt)
-    return jnp.concatenate(outs, axis=-1), atail, prev

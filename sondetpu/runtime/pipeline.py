@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from sondetpu.dsp.fir import FIRState, _apply_windows, design_lowpass
 from sondetpu.sync.coding import biphase_m_decode, manchester_decode
 from sondetpu.sync.correlator import (
-    correlate_syncword, find_frame_starts, gather_frames, syncword_to_chips)
+    correlate_syncword, find_frame_starts, gather_frames)
 from sondetpu.sync.timing import TimingState, oerder_meyr_tau
 from sondetpu.sondes.base import get_sonde
 
@@ -322,7 +322,11 @@ class Pipeline:
         self._pallas = (bool(c.use_pallas) and not self._afsk
                         and c.channels % 8 == 0
                         and self._fe_chunk is not None
-                        and c.decim * c.ntaps + c.ntaps - 1 <= HALO)
+                        and c.decim * c.ntaps + c.ntaps - 1 <= HALO
+                        # the fused kernel only implements mean-DC; the
+                        # midpoint slicer (unwhitened-NRZ families) must
+                        # not silently degrade to the biased mean
+                        and spec.extra.get("dc_mode") != "midpoint")
         # compiled Pallas needs a TPU; CPU (unit tests) runs interpret mode
         self._pallas_interpret = jax.default_backend() == "cpu"
         donate = () if c.profile_stop else (0,)
@@ -458,13 +462,10 @@ class Pipeline:
                               jnp.where(s0 + 1 == j, frac[:, 0], 0.0))[:, None]
                 soft = soft + w * fp[:, j: j + isps * cpb: isps][:, :cpb]
             return soft
+        from sondetpu.sync.timing import _linear_interp
         k = jnp.arange(cpb, dtype=jnp.float32)
         pos = start[:, None] + k[None, :] * sps
-        p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
-        frac = jnp.clip(pos - p0.astype(jnp.float32), 0.0, 1.0)
-        a = jnp.take_along_axis(filt, p0, axis=-1)
-        b = jnp.take_along_axis(filt, p0 + 1, axis=-1)
-        return a + (b - a) * frac
+        return _linear_interp(filt, pos)
 
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
@@ -641,8 +642,16 @@ class Pipeline:
         for alt_t in self._alt_templates:
             # subtype/packet-type with a different sync on the same channel
             # (M20 on the M10/M20 entry, iMet-4 packet headers): accept
-            # whichever template matches best
-            corr2 = correlate_syncword(chipbuf, alt_t)
+            # whichever template matches best (same kernel as the main
+            # template — the Pallas path must not fall back to an HBM
+            # re-read per alternate)
+            if self._pallas:
+                from sondetpu.pallas import corr_kernel
+                corr2 = corr_kernel(chipbuf,
+                                    np.asarray(alt_t)[None, :].astype(np.float32),
+                                    interpret=self._pallas_interpret)
+            else:
+                corr2 = correlate_syncword(chipbuf, alt_t)
             if c.spec.extra.get("abs_corr"):
                 corr2 = jnp.abs(corr2)
             m = min(corr.shape[-1], corr2.shape[-1])

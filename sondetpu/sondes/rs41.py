@@ -297,10 +297,22 @@ class RS41Decoder(SondeDecoderBase):
             if flen > L:
                 continue
             sel = types == ftype
+            unknown = (types != FRAME_TYPE_EXT) & (types != FRAME_TYPE_STD)
             if ftype == FRAME_TYPE_STD:
                 # frames whose type byte got corrupted: attempt the standard
                 # decode — RS correction may repair the type byte
-                sel = sel | ((types != FRAME_TYPE_EXT) & (types != FRAME_TYPE_STD))
+                sel = sel | unknown
+                if L < FRAME_BYTES_EXT:
+                    # extended frames cannot exist in this window, so a
+                    # type byte corrupted to exactly 0xF0 still gets the
+                    # standard repair instead of being dropped outright
+                    sel = sel | (types == FRAME_TYPE_EXT)
+            else:
+                # on an extended channel a corrupted-type frame may really
+                # be extended: attempt the full-length decode too (RS can
+                # repair the type byte; if BOTH passes decode, the merge
+                # tolerates the duplicate fragments)
+                sel = sel | unknown
             if not sel.any():
                 continue
             # the device syndrome check ran on the full gathered length;

@@ -130,6 +130,7 @@ class SondeTelemetry:
             self.temp = frag.temp
             self.rh = frag.rh
             self.pressure = frag.pressure
+            self._isa_pressure = False
             self.dewpt = dewpt(frag.temp, frag.rh)
         if f & 32:                      # Fields.SERIAL
             self.serial = frag.serial
@@ -139,8 +140,14 @@ class SondeTelemetry:
             # Reference formats ozone into the aux string with 2 decimals
             # (decoder.hpp:102-106).
             self.aux_data = f"O3={frag.o3_mpa:.2f}mPa"
-        if self.pressure <= 0:
+        if self.pressure <= 0 or (getattr(self, "_isa_pressure", False)
+                                  and f & 2):
+            # ISA barometric fallback (decoder.hpp:108-110). Recomputed on
+            # every POS update while the value is ISA-derived — otherwise a
+            # stretch of POS-only fragments (MEAS CRC failures) would leave
+            # the reported pressure frozen at an old altitude.
             self.pressure = altitude_to_pressure(self.alt)
+            self._isa_pressure = True
         return f != 0
 
     def snapshot(self) -> "SondeTelemetry":

@@ -145,3 +145,26 @@ def test_rs41x_pipeline_end_to_end():
     t = sess.telemetry[0]
     assert t.serial == "S1234567"
     assert t.aux_data == "O3=2.25mPa"
+
+
+def test_type_byte_corruption_still_decodes():
+    """A corrupted frame-type byte must not bypass the RS repair: on a
+    standard channel even a type byte hit to exactly 0xF0 (the extended
+    marker) takes the STD pass; on an extended channel an unknown type is
+    attempted at BOTH lengths so a real extended frame with a hit type
+    byte still corrects."""
+    from sondetpu.sondes.rs41 import (FRAME_TYPE_EXT, DATA_START,
+                                      RS41Decoder, RS41Modulator, RS41Truth)
+
+    mod = RS41Modulator()
+    f = mod.build_frame(RS41Truth(frame_no=77))
+    f[DATA_START] = FRAME_TYPE_EXT          # corrupt type to the EXT marker
+    dec = RS41Decoder()
+    frags = dec.decode_byte_frames(f[None, :], [0])
+    assert frags and frags[0][1].seq == 77
+
+    fx = mod.build_frame(RS41Truth(frame_no=88), extended=True)
+    fx[DATA_START] = 0x55                   # corrupt type to garbage
+    decx = RS41Decoder()
+    frags = decx.decode_byte_frames(fx[None, :], [0])
+    assert any(fr.seq == 88 for _, fr in frags)

@@ -84,3 +84,26 @@ def test_dewpt_jnp_matches_scalar():
     got = float(dewpt_jnp(20.0, 60.0))
     # float32 on device vs float64 host math
     assert got == pytest.approx(dewpt(20.0, 60.0), rel=1e-3)
+
+
+def test_isa_pressure_tracks_altitude_on_pos_only_updates():
+    """While the pressure is ISA-derived (no sensor), POS-only fragments
+    must recompute it — not freeze it at the first altitude."""
+    from sondetpu.telemetry import Fields, SondeTelemetry, TelemetryFragment
+
+    t = SondeTelemetry()
+    f1 = TelemetryFragment(fields=Fields.POS | Fields.PTU,
+                           lat=45.0, lon=9.0, alt=1000.0,
+                           temp=-5.0, rh=50.0, pressure=0.0)
+    t.merge(f1)
+    p_low = t.pressure
+    f2 = TelemetryFragment(fields=Fields.POS, lat=45.0, lon=9.0, alt=8000.0)
+    t.merge(f2)
+    assert t.pressure < p_low * 0.6         # climbed 7 km: pressure fell
+    # a real sensor value stops the fallback
+    f3 = TelemetryFragment(fields=Fields.PTU, temp=-30.0, rh=10.0,
+                           pressure=355.0)
+    t.merge(f3)
+    f4 = TelemetryFragment(fields=Fields.POS, lat=45.0, lon=9.0, alt=9000.0)
+    t.merge(f4)
+    assert t.pressure == 355.0
