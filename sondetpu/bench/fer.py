@@ -24,7 +24,9 @@ def _make_truths(sonde: str, n: int):
 
     modcls = get_sonde(sonde)["modulator"]
     mod = sys.modules[modcls.__module__]
-    cls = next(getattr(mod, a) for a in dir(mod) if a.endswith("Truth"))
+    # the family's OWN truth class (XModulator -> XTruth); a bare
+    # endswith-scan could pick another module's imported Truth class
+    cls = getattr(mod, modcls.__name__.replace("Modulator", "Truth"))
     out = []
     for i in range(n):
         t = cls()

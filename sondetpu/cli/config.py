@@ -79,8 +79,17 @@ class FrameworkConfig:
 
     @classmethod
     def from_dict(cls, raw: dict) -> "FrameworkConfig":
-        sinks = SinkConfig(**raw.pop("sinks", {}))
-        chans = [ChannelConfig(**c) for c in raw.pop("channel_map", [])]
+        raw = dict(raw)                      # never mutate the caller's dict
+
+        def known_only(dc, d):
+            names = {f.name for f in dataclasses.fields(dc)}
+            # unknown keys are IGNORED like top-level fields: configs from
+            # newer versions / hand edits must not abort the decode
+            return {k: v for k, v in d.items() if k in names}
+
+        sinks = SinkConfig(**known_only(SinkConfig, raw.pop("sinks", {})))
+        chans = [ChannelConfig(**known_only(ChannelConfig, c))
+                 for c in raw.pop("channel_map", [])]
         known = {f.name for f in dataclasses.fields(cls) if not f.name.startswith("_")}
         cfg = cls(**{k: v for k, v in raw.items() if k in known and k not in ("sinks", "channel_map")})
         cfg.sinks = sinks

@@ -64,9 +64,9 @@ def _truth_class(sonde: str):
     # (sonde names and module names differ for variants like rs41x)
     modcls = get_sonde(sonde)["modulator"]
     mod = sys.modules[modcls.__module__]
-    for name in dir(mod):
-        if name.endswith("Truth"):
-            return getattr(mod, name)
+    name = modcls.__name__.replace("Modulator", "Truth")
+    if hasattr(mod, name):
+        return getattr(mod, name)
     raise KeyError(f"no Truth class for {sonde}")
 
 

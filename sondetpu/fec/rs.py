@@ -74,7 +74,9 @@ class ReedSolomon:
         pattern is uncorrectable (> t errors detected).
         """
         from sondetpu.fec import native
-        if native.available():
+        if native.available() and self.nroots <= 32:
+            # the C++ path sizes its syndrome/locator stacks at 32 roots;
+            # larger codes stay on the NumPy oracle
             return native.rs_decode(np.atleast_2d(np.asarray(recv, dtype=np.uint8)),
                                     self.nroots, self.fcr, self.gf.prim_poly)
         recv = np.atleast_2d(np.asarray(recv, dtype=np.int32))
@@ -91,11 +93,12 @@ class ReedSolomon:
         nz = cw != 0
         logs = gf.log[cw]
 
-        # Gate on the first 4 syndromes: an error pattern zeroing all four
-        # has probability ~2^-32, and the per-block CRC16 layer above the RS
-        # code catches any escape — so clean-looking frames skip the other
-        # 20 syndrome sums AND the BM/Chien/Forney machinery entirely.
-        gate = min(4, nr)
+        # Gate on ALL syndromes: clean frames skip the BM/Chien/Forney
+        # machinery entirely (the bulk of the cost); computing the full
+        # syndrome set keeps the verdict identical to the native path —
+        # a partial gate could declare ok a frame whose error pattern
+        # zeroes only the gated syndromes.
+        gate = nr
         Sg = np.zeros((batch, gate), dtype=np.int32)
         for i in range(gate):
             term = np.where(nz, gf.exp[(logs + expo[i][None, :]) % 255], 0)
@@ -159,7 +162,7 @@ class ReedSolomon:
             B = np.where(grow[:, None], C, B)
             bb = np.where(grow, d, bb)
             Lnew = np.where(grow, i + 1 - L, L)
-            m = np.where(grow, 1, np.where(upd, m + 1, m + 1))
+            m = np.where(grow, 1, m + 1)
             C = np.where(upd[:, None], Cnew, C)
             L = Lnew
 

@@ -55,8 +55,11 @@ const GF256 &gf256_for(int prim_poly) {
   static int n_cached = 0;
   for (int i = 0; i < n_cached; ++i)
     if (cache[i].prim == prim_poly) return cache[i];
-  cache[n_cached].init(prim_poly);
-  return cache[n_cached++];
+  // full cache: reuse a slot round-robin instead of writing past the array
+  const int slot = (n_cached < 4) ? n_cached : (n_cached % 4);
+  cache[slot].init(prim_poly);
+  ++n_cached;
+  return cache[slot];
 }
 
 // ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ def bits_to_symbols(bits: np.ndarray) -> np.ndarray:
 
 
 def gfsk_modulate(bits: np.ndarray, sps: float, deviation_norm: float,
-                  bt: float = 0.5, fs: float = 1.0) -> np.ndarray:
+                  bt: float = 0.5) -> np.ndarray:
     """GFSK/FSK IQ from a bit stream.
 
     sps: samples per symbol (may be fractional); deviation_norm: peak
