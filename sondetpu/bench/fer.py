@@ -24,9 +24,12 @@ def _make_truths(sonde: str, n: int):
 
     modcls = get_sonde(sonde)["modulator"]
     mod = sys.modules[modcls.__module__]
-    # the family's OWN truth class (XModulator -> XTruth); a bare
-    # endswith-scan could pick another module's imported Truth class
-    cls = getattr(mod, modcls.__name__.replace("Modulator", "Truth"))
+    # the family's OWN truth class (XModulator -> XTruth, with variant
+    # modulators like RS41XModulator falling back to the base family's
+    # truth class); a bare endswith-scan could pick another module's
+    # imported Truth class
+    from sondetpu.cli.main import _truth_class
+    cls = _truth_class(sonde)
     out = []
     for i in range(n):
         t = cls()

@@ -65,9 +65,19 @@ def _truth_class(sonde: str):
     modcls = get_sonde(sonde)["modulator"]
     mod = sys.modules[modcls.__module__]
     name = modcls.__name__.replace("Modulator", "Truth")
-    if hasattr(mod, name):
-        return getattr(mod, name)
-    raise KeyError(f"no Truth class for {sonde}")
+    cand = getattr(mod, name, None)
+    if cand is None:
+        # variant modulators (RS41XModulator) share the base family's
+        # truth class (RS41Truth): longest Truth-class prefix of the name
+        best = ""
+        for a in dir(mod):
+            if a.endswith("Truth") and name.startswith(a[:-5]) \
+                    and len(a) > len(best):
+                best = a
+        cand = getattr(mod, best) if best else None
+    if cand is None:
+        raise KeyError(f"no Truth class for {modcls.__name__}")
+    return cand
 
 
 def _make_sinks(args, default_type="", multi=False):

@@ -81,62 +81,54 @@ class ReedSolomon:
                                     self.nroots, self.fcr, self.gf.prim_poly)
         recv = np.atleast_2d(np.asarray(recv, dtype=np.int32))
         batch, n = recv.shape
-        gf = self.gf
-        nr = self.nroots
-        pad = 255 - n
-        cw = np.zeros((batch, 255), dtype=np.int32)
-        cw[:, pad:] = recv
-
-        # Syndromes S_i = r(alpha^(fcr+i)); r[j] has degree 254-j
-        deg = np.arange(254, -1, -1)
-        expo = (deg[None, :] * (np.arange(nr)[:, None] + self.fcr)) % 255
-        nz = cw != 0
-        logs = gf.log[cw]
-
-        # Gate on ALL syndromes: clean frames skip the BM/Chien/Forney
-        # machinery entirely (the bulk of the cost); computing the full
-        # syndrome set keeps the verdict identical to the native path —
-        # a partial gate could declare ok a frame whose error pattern
-        # zeroes only the gated syndromes.
-        gate = nr
-        Sg = np.zeros((batch, gate), dtype=np.int32)
-        for i in range(gate):
-            term = np.where(nz, gf.exp[(logs + expo[i][None, :]) % 255], 0)
-            Sg[:, i] = np.bitwise_xor.reduce(term, axis=1)
-        maybe_err = Sg.any(axis=1)
+        # ALL syndromes, once, for the whole batch: clean frames skip the
+        # BM/Chien/Forney machinery entirely (the bulk of the cost), and
+        # suspects reuse these syndromes instead of recomputing them — and
+        # the full set keeps the ok verdict identical to the native path.
+        S = self._syndromes(recv)
+        maybe_err = S.any(axis=1)
         if not maybe_err.any():
             return (recv.astype(np.uint8), np.zeros(batch, np.int64),
                     np.ones(batch, bool))
-        if not maybe_err.all():
-            # run the expensive path only on the suspect subset
-            corr_d, nerr_d, ok_d = self.decode(recv[maybe_err].astype(np.uint8))
-            corrected = recv.astype(np.uint8).copy()
-            corrected[maybe_err] = corr_d
-            nerr = np.zeros(batch, np.int64)
-            nerr[maybe_err] = nerr_d
-            ok = np.ones(batch, bool)
-            ok[maybe_err] = ok_d
-            return corrected, nerr, ok
+        if maybe_err.all():
+            return self._correct(recv, S)
+        corr_d, nerr_d, ok_d = self._correct(recv[maybe_err], S[maybe_err])
+        corrected = recv.astype(np.uint8).copy()
+        corrected[maybe_err] = corr_d
+        nerr = np.zeros(batch, np.int64)
+        nerr[maybe_err] = nerr_d
+        ok = np.ones(batch, bool)
+        ok[maybe_err] = ok_d
+        return corrected, nerr, ok
 
-        # full syndromes (every frame in this (sub)batch is suspect)
+    def _syndromes(self, recv: np.ndarray) -> np.ndarray:
+        """S_i = r(alpha^(fcr+i)) for a [batch, n] int32 batch."""
+        gf = self.gf
+        nr = self.nroots
+        batch, n = recv.shape
+        pad = 255 - n
+        cw = np.zeros((batch, 255), dtype=np.int32)
+        cw[:, pad:] = recv
+        deg = np.arange(254, -1, -1)    # r[j] has degree 254-j
+        expo = (deg[None, :] * (np.arange(nr)[:, None] + self.fcr)) % 255
+        nz = cw != 0
+        logs = gf.log[cw]
         S = np.zeros((batch, nr), dtype=np.int32)
-        S[:, :gate] = Sg
-        for i in range(gate, nr):
+        for i in range(nr):
             term = np.where(nz, gf.exp[(logs + expo[i][None, :]) % 255], 0)
             S[:, i] = np.bitwise_xor.reduce(term, axis=1)
+        return S
 
+    def _correct(self, recv: np.ndarray, S: np.ndarray):
+        """BM/Chien/Forney over rows whose syndromes are already known
+        (every row here has at least one nonzero syndrome)."""
+        gf = self.gf
+        nr = self.nroots
+        batch, n = recv.shape
+        pad = 255 - n
+        cw = np.zeros((batch, 255), dtype=np.int32)
+        cw[:, pad:] = recv
         no_err = ~S.any(axis=1)
-        if no_err.any():
-            # run the expensive machinery only on the erroneous subset
-            dirty = ~no_err
-            corr_d, nerr_d, ok_d = self.decode(recv[dirty].astype(np.uint8))
-            corrected = recv.astype(np.uint8).copy()
-            corrected[dirty] = corr_d
-            nerr = np.zeros(batch, np.int64)
-            nerr[dirty] = nerr_d
-            ok = np.ones(batch, bool)
-            ok[dirty] = ok_d
-            return corrected, nerr, ok
 
         # Berlekamp-Massey, fixed 2t iterations, batch-conditional
         C = np.zeros((batch, nr + 1), dtype=np.int32); C[:, 0] = 1

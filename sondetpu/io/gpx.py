@@ -147,10 +147,15 @@ class MultiGPXWriter:
     concurrent sondes (a single GPXWriter would thrash start_track on
     every alternation and its writer-global dedup would drop points whose
     timestamps collide across sondes). The file is rewritten atomically
-    (tmp + replace) so it is always complete, well-formed XML — the same
-    crash-safety contract as GPXWriter's terminate-file trick."""
+    (tmp + replace), so it is ALWAYS complete well-formed XML; unlike
+    GPXWriter's per-point terminate-file trick, a crash loses at most the
+    points since the last rewrite (bounded to ~1/8 of the file by the
+    adaptive flush below — the price of supporting interleaved tracks in
+    one file without O(total^2) rewrite cost)."""
 
-    FLUSH_EVERY = 8          # rewrites are O(total points); amortize
+    MIN_FLUSH = 8            # rewrites are O(total points): flushing every
+                             # max(8, total/8) adds keeps total rewrite work
+                             # O(n log n) on long runs instead of O(n^2)
 
     def __init__(self, path: str = ""):
         self._path = ""
@@ -195,7 +200,8 @@ class MultiGPXWriter:
             f"<course>{hdg:f}</course>\n"
             f"</trkpt>\n")
         self._pending += 1
-        if self._pending >= self.FLUSH_EVERY:
+        total = sum(len(p) for p in self._tracks.values())
+        if self._pending >= max(self.MIN_FLUSH, total // 8):
             self._rewrite()
 
     def _rewrite(self) -> None:

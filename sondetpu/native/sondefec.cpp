@@ -13,7 +13,9 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <atomic>
 #include <cstring>
+#include <mutex>
 
 namespace {
 
@@ -51,15 +53,29 @@ struct GF256 {
 };
 
 const GF256 &gf256_for(int prim_poly) {
+  // thread-safe bounded cache: host-worker pools call the batch decoders
+  // concurrently. Readers see an entry only after its release-store, the
+  // miss path serializes under a mutex, and a 5th+ distinct polynomial
+  // lands in a thread_local scratch table instead of evicting (so no
+  // reference another thread may still hold is ever invalidated).
   static GF256 cache[4];
-  static int n_cached = 0;
-  for (int i = 0; i < n_cached; ++i)
+  static std::atomic<int> n_cached{0};
+  static std::mutex mu;
+  int n = n_cached.load(std::memory_order_acquire);
+  for (int i = 0; i < n; ++i)
     if (cache[i].prim == prim_poly) return cache[i];
-  // full cache: reuse a slot round-robin instead of writing past the array
-  const int slot = (n_cached < 4) ? n_cached : (n_cached % 4);
-  cache[slot].init(prim_poly);
-  ++n_cached;
-  return cache[slot];
+  std::lock_guard<std::mutex> lk(mu);
+  n = n_cached.load(std::memory_order_acquire);
+  for (int i = 0; i < n; ++i)
+    if (cache[i].prim == prim_poly) return cache[i];
+  if (n < 4) {
+    cache[n].init(prim_poly);
+    n_cached.store(n + 1, std::memory_order_release);
+    return cache[n];
+  }
+  thread_local GF256 scratch;
+  if (scratch.prim != prim_poly) scratch.init(prim_poly);
+  return scratch;
 }
 
 // ---------------------------------------------------------------------------

@@ -193,6 +193,7 @@ def test_convert_to_c64_truncated_file():
     import sondetpu.io.iq as iqmod
     from sondetpu.io.iq import convert_to_c64
 
+    prior = os.environ.get("SONDETPU_NO_NATIVE")
     os.environ["SONDETPU_NO_NATIVE"] = "1"
     try:
         iqmod._native = None               # force reload under the switch
@@ -200,5 +201,10 @@ def test_convert_to_c64_truncated_file():
         out = convert_to_c64(raw, "cs16")
         assert out.shape == (3,)
     finally:
-        os.environ.pop("SONDETPU_NO_NATIVE")
+        # restore the EXTERNAL kill-switch state (popping it would turn
+        # native code back on for the rest of a SONDETPU_NO_NATIVE=1 run)
+        if prior is None:
+            os.environ.pop("SONDETPU_NO_NATIVE", None)
+        else:
+            os.environ["SONDETPU_NO_NATIVE"] = prior
         iqmod._native = None
