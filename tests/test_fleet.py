@@ -176,3 +176,56 @@ def test_fleet_checkpoint_roundtrip(tmp_path):
     other = FleetSession([FleetChannel(pfb_bin=1, sonde="rs41")], n_bins=n_bins)
     with pytest.raises(ValueError):
         ckpt.load_fleet(other, str(path))
+
+
+def test_fleet_pipelined_flush_recovers_last_block():
+    """Pipelined fleets hold block k's output until block k+1 dispatches;
+    flush() must drain the final pending block or its frames are lost."""
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    n_bins = 4
+    fs_wide = n_bins * 48000.0
+    fleet = FleetSession([FleetChannel(pfb_bin=1, sonde="rs41")],
+                         n_bins=n_bins, pipelined=True)
+    centers = fleet.pfb.center_freqs(fs_wide)
+    rs41 = RS41Modulator()
+    bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=5 + i)) for i in range(3)]))
+    sig = _narrowband_at_wideband(bits, 4800.0, 2400.0, fs_wide, centers[1])
+    w = n_bins * 48000
+    n = ((sig.size + w - 1) // w) * w
+    wide = np.zeros(n, np.complex64)
+    wide[:sig.size] = sig
+    ups = 0
+    for i in range(0, n - w + 1, w):
+        ups += fleet.process_wideband(wide[i:i + w])
+    ups += fleet.flush()
+    assert ups >= 3                     # incl. the final pending block
+    assert fleet.telemetry[0].serial == "S1234567"
+
+
+def test_autofleet_accepts_plane_pairs():
+    """The streaming hot path feeds (i, q) plane pairs; AutoFleet must
+    discover and decode from them (complex is rebuilt only at rescans)."""
+    from sondetpu.runtime.autofleet import AutoFleet
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    n_bins = 8
+    fs_wide = n_bins * 48000.0
+    rs41 = RS41Modulator()
+    bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=8 + i)) for i in range(6)]))
+    sig = _narrowband_at_wideband(bits, 4800.0, 2400.0, fs_wide,
+                                  2 * 48000.0 + 1000.0)
+    w = n_bins * 48000
+    n = ((sig.size + w - 1) // w) * w
+    wide = np.zeros(n, np.complex64)
+    wide[:sig.size] = sig
+    auto = AutoFleet(n_bins=n_bins, rescan_blocks=2, families=["rs41"])
+    ups = 0
+    for i in range(0, n - w + 1, w):
+        blk = wide[i:i + w]
+        ups += auto.process_wideband(
+            (np.ascontiguousarray(blk.real), np.ascontiguousarray(blk.imag)))
+    assert auto.tracked and auto.tracked[0].sonde == "rs41"
+    assert ups >= 1
