@@ -228,4 +228,6 @@ def test_autofleet_accepts_plane_pairs():
         ups += auto.process_wideband(
             (np.ascontiguousarray(blk.real), np.ascontiguousarray(blk.imag)))
     assert auto.tracked and auto.tracked[0].sonde == "rs41"
-    assert ups >= 1
+    assert ups >= 2
+    telem = auto.telemetry
+    assert telem and next(iter(telem.values()))[1].serial == "S1234567"
