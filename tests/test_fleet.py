@@ -231,3 +231,46 @@ def test_autofleet_accepts_plane_pairs():
     assert ups >= 2
     telem = auto.telemetry
     assert telem and next(iter(telem.values()))[1].serial == "S1234567"
+
+
+def test_mixed_fleet_with_afsk_member():
+    """An AFSK family (iMet-4) decodes through the PFB + fleet path next to
+    a GFSK member — the dual-tone front end gets real wideband coverage
+    (prior mixed-fleet tests only fed GFSK members)."""
+    from sondetpu.sondes.imet4 import IMET4Modulator, IMET4Truth
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+    from sondetpu.sondes.modulate import freq_shift
+
+    n_bins = 8
+    fs_chan = 48000.0
+    fs_wide = n_bins * fs_chan
+    fleet = FleetSession([FleetChannel(pfb_bin=1, sonde="rs41"),
+                          FleetChannel(pfb_bin=4, sonde="imet4")],
+                         n_bins=n_bins)
+    centers = fleet.pfb.center_freqs(fs_wide)
+
+    rs41 = RS41Modulator()
+    bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=3 + i)) for i in range(3)]))
+    sig_rs = _narrowband_at_wideband(bits, 4800.0, 2400.0, fs_wide, centers[1])
+
+    imod = IMET4Modulator()
+    nb = imod.modulate([IMET4Truth(frame_no=5 + i) for i in range(6)],
+                       fs=fs_chan)
+    # upsample the narrowband AFSK to the wideband rate (zero-order hold is
+    # fine: images land outside the target bin) and shift to bin 4
+    sig_im = freq_shift(np.repeat(nb, n_bins), centers[4] / fs_wide)
+
+    w = int(n_bins * fs_chan)
+    n = ((max(sig_rs.size, sig_im.size) + w - 1) // w) * w
+    wide = np.zeros(n, np.complex64)
+    wide[:sig_rs.size] += sig_rs
+    wide[:sig_im.size] += sig_im.astype(np.complex64)
+
+    for i in range(0, n - w + 1, w):
+        fleet.process_wideband(wide[i:i + w])
+    telem = fleet.telemetry
+    assert 0 in telem and telem[0].serial == "S1234567"
+    assert 1 in telem
+    assert telem[1].lat == pytest.approx(40.0, abs=1e-4)
+    assert telem[1].pressure == pytest.approx(40.0, abs=0.1)
