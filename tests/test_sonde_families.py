@@ -272,3 +272,45 @@ def test_m20_chase_repair_uses_subframe_span():
     dec_without = without.metrics.frames_decoded
     assert dec_with >= 9, (dec_with, dec_without)
     assert dec_with >= dec_without + 3, (dec_with, dec_without)
+
+
+def test_golden_on_air_bytes_pinned():
+    """Freeze the on-air byte images of the real-protocol modulators: the
+    e2e tests prove modulator/decoder CONSISTENCY, but a change drifting
+    both together would silently break on-air compatibility of the pinned
+    public layouts (PROTOCOLS.md). Any intentional protocol change must
+    update these snapshots deliberately."""
+    import hashlib
+
+    from sondetpu.sondes.dfm import DFMModulator, DFMTruth
+    from sondetpu.sondes.imet4 import IMET4Modulator, IMET4Truth
+    from sondetpu.sondes.ims100 import IMS100Modulator, IMS100Truth
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    d = DFMModulator().build_frame(DFMTruth(frame_no=1), 0)
+    assert bytes(d).hex() == (
+        "45cf3cb468e5c75ebe00000000000200100080040000004006001800100a801402"
+        "201c")
+
+    m = M10Modulator().build_frame(M10Truth(frame_no=1))
+    assert bytes(m[:8]).hex() == "aaaa649f2000fe70"   # preamble+len/type+vE
+    assert bytes(m[0x65:0x67]).hex() == "790a"        # rolling checksum
+    assert hashlib.sha256(bytes(m)).hexdigest().startswith(
+        "2194d472a8aba6d53acb78dfa194c78c")
+
+    imod = IMET4Modulator()
+    assert bytes(imod.build_ptu(IMET4Truth(frame_no=1))).hex() == \
+        "01010100a00f0058e9f40124c467"
+    assert bytes(imod.build_gps(IMET4Truth(frame_no=1))).hex() == \
+        "0102000020420000d2c2786909160d144af9"
+
+    i = IMS100Modulator().build_frame(IMS100Truth(frame_no=2), half=0)
+    assert bytes(i[:4]).hex() == "fb623002"           # real Meisei sync
+    assert hashlib.sha256(bytes(i)).hexdigest().startswith(
+        "d02cece389b4c96b90bbe0b3bd48cc5f")
+
+    r = RS41Modulator().build_frame(RS41Truth(frame_no=1))
+    assert bytes(r[:8]).hex() == "8635f44093df1a60"   # descrambled sync
+    assert hashlib.sha256(bytes(r)).hexdigest().startswith(
+        "bb98c6170d68809ac6917da91c9233b3")
