@@ -101,9 +101,8 @@ def detect_carriers(iq: np.ndarray, fs_wide: float, nfft: int = 4096,
     if isinstance(iq, tuple):
         x_i, x_q = iq
     else:
-        iq = np.asarray(iq)
-        x_i = np.ascontiguousarray(iq.real.astype(np.float32))
-        x_q = np.ascontiguousarray(iq.imag.astype(np.float32))
+        from sondetpu.io.iq import c64_to_planes
+        x_i, x_q = c64_to_planes(np.asarray(iq))   # native deinterleaver
     bins, psd = welch_psd(x_i, x_q, nfft)
     hz_per_bin = fs_wide / nfft
     # light smoothing (~500 Hz) so double-lobed FSK spectra group cleanly
@@ -202,9 +201,8 @@ def classify_carriers(iq, fs_wide: float, carriers: Sequence[Carrier],
     if isinstance(iq, tuple):
         x_i, x_q = iq
     else:
-        iq = np.asarray(iq)
-        x_i = np.ascontiguousarray(iq.real.astype(np.float32))
-        x_q = np.ascontiguousarray(iq.imag.astype(np.float32))
+        from sondetpu.io.iq import c64_to_planes
+        x_i, x_q = c64_to_planes(np.asarray(iq))   # native deinterleaver
 
     # channelize once; probe blocks are shared by every family
     pfb = PFBChannelizer(n_bins)

@@ -167,12 +167,19 @@ class MultiGPXWriter:
                 raise OSError(f"cannot open GPX output {path!r}")
 
     def init(self, path: str) -> bool:
+        if self._path:
+            self._rewrite()                # persist the previous file
         try:
             with open(path, "wb") as f:
                 f.write(_GPX_HEADER.encode())
                 f.write(b"</gpx>\n")
         except OSError:
             return False
+        # fresh file: fresh tracks and dedup state (re-init must not leak
+        # the previous file's contents into the new one)
+        self._tracks = {}
+        self._last = {}
+        self._pending = 0
         self._path = path
         return True
 

@@ -123,7 +123,8 @@ def interleaved_to_int_planes(raw: np.ndarray, fmt: str):
         dt = "i8"
     else:
         raise ValueError(f"device-dequant ingest needs cs16/cs8, got {fmt!r}")
-    pair = raw.reshape(-1, 2)
+    pair = raw[: 2 * (raw.size // 2)].reshape(-1, 2)   # tolerate a capture
+    #                                                    cut mid-sample
     return (np.ascontiguousarray(pair[:, 0]),
             np.ascontiguousarray(pair[:, 1]), dt)
 
@@ -309,9 +310,13 @@ class StreamingIQSource:
 
     def _blocks_numpy_raw(self):
         dt = np.int16 if self.fmt == "cs16" else np.int8
+        item = np.dtype(dt).itemsize
+        want = 2 * self.block_len * item
         with open(self.path, "rb") as f:
             while True:
-                raw = np.fromfile(f, dtype=dt, count=2 * self.block_len)
+                buf = self._read_full(f, want)      # FIFO-safe refill read
+                raw = np.frombuffer(buf[: len(buf) - len(buf) % item],
+                                    dtype=dt)
                 n = raw.size // 2
                 if n == 0:
                     return
@@ -345,16 +350,36 @@ class StreamingIQSource:
         finally:
             lib.iqs_close(h)
 
+    @staticmethod
+    def _read_full(f, nbytes: int) -> bytes:
+        """Read exactly nbytes unless EOF: FIFOs/pipes return short reads
+        mid-stream, which must NOT end the stream (np.fromfile also needs a
+        seekable file, so the fallback reads raw bytes)."""
+        chunks = []
+        got = 0
+        while got < nbytes:
+            b = f.read(nbytes - got)
+            if not b:
+                break
+            chunks.append(b)
+            got += len(b)
+        return b"".join(chunks)
+
     def _blocks_numpy(self):
         dtype, bpc = _FORMATS[self.fmt]
         per_complex = 2 if self.fmt != "cf32" else 1
+        item = np.dtype(dtype).itemsize
+        want = self.block_len * per_complex * item
         with open(self.path, "rb") as f:
             while True:
-                raw = np.fromfile(f, dtype=dtype,
-                                  count=self.block_len * per_complex)
-                if raw.size == 0:
+                buf = self._read_full(f, want)
+                if not buf:
                     return
+                raw = np.frombuffer(buf[: len(buf) - len(buf) % item],
+                                    dtype=dtype)
                 n = raw.size // per_complex
+                if n == 0:
+                    return
                 iq = (raw.astype(np.complex64) if self.fmt == "cf32"
                       else convert_to_c64(raw[: 2 * (raw.size // 2)], self.fmt))
                 pi = np.zeros(self.block_len, dtype=np.float32)
@@ -362,7 +387,7 @@ class StreamingIQSource:
                 pi[:n] = iq.real[:n]
                 pq[:n] = iq.imag[:n]
                 yield pi, pq, int(n)
-                if n < self.block_len:
+                if n < self.block_len:         # true EOF (short final block)
                     return
 
 

@@ -199,11 +199,14 @@ class AutoFleet:
     def _rescan(self) -> None:
         self._refresh_centers()
         # scan buffer entries are complex blocks or (i, q) plane pairs;
-        # complex is rebuilt only here, when a rescan actually runs
-        blocks = [b if not isinstance(b, tuple)
-                  else (b[0] + 1j * b[1]).astype(np.complex64)
-                  for b in self._recent]
-        wide = np.concatenate(blocks)
+        # the scan entry points accept a plane tuple directly, so no
+        # complex copy is ever materialized (for 1024-bin blocks that copy
+        # was ~400 MB per buffered block)
+        if self._recent and isinstance(self._recent[0], tuple):
+            wide = (np.concatenate([b[0] for b in self._recent]),
+                    np.concatenate([b[1] for b in self._recent]))
+        else:
+            wide = np.concatenate(self._recent)
         carriers = detect_carriers(wide, self.fs_wide,
                                    min_snr_db=self.min_snr_db)
         fresh = [c for c in carriers if not self._known(c.center_hz)

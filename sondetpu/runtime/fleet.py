@@ -126,9 +126,8 @@ class FleetSession:
         if isinstance(iq, tuple):
             wi, wq = iq
         else:
-            iq = np.asarray(iq)
-            wi = np.ascontiguousarray(iq.real.astype(np.float32))
-            wq = np.ascontiguousarray(iq.imag.astype(np.float32))
+            from sondetpu.io.iq import c64_to_planes
+            wi, wq = c64_to_planes(np.asarray(iq))   # native deinterleaver
         self.pfb_state, yi, yq = self.pfb(self.pfb_state, wi, wq)
         # yi/yq stay ON DEVICE: each group's rows are gathered device-side
         # and fed straight into its compiled step — the only host transfer

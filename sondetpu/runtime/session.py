@@ -264,7 +264,9 @@ class DecoderSession:
         if isinstance(frames_dev, jax.Array) and not frames_dev.is_fully_addressable:
             fb = self.config.spec.frame_bytes
             res = np.zeros((len(ch_idx), fb), np.uint8)
-            shards = [((s.index[0].start or 0), s.index[0].stop, s.data)
+            shards = [((s.index[0].start or 0),
+                       self.config.channels if s.index[0].stop is None
+                       else s.index[0].stop, s.data)
                       for s in frames_dev.addressable_shards]
             for i, (c, k) in enumerate(zip(ch_idx, slot_idx)):
                 for start, stop, data in shards:
