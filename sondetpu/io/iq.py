@@ -314,9 +314,8 @@ class StreamingIQSource:
         want = 2 * self.block_len * item
         with open(self.path, "rb") as f:
             while True:
-                buf = self._read_full(f, want)      # FIFO-safe refill read
-                raw = np.frombuffer(buf[: len(buf) - len(buf) % item],
-                                    dtype=dt)
+                buf = self._read_full(f, want, item)  # FIFO-safe refill
+                raw = np.frombuffer(buf, dtype=dt)
                 n = raw.size // 2
                 if n == 0:
                     return
@@ -351,10 +350,12 @@ class StreamingIQSource:
             lib.iqs_close(h)
 
     @staticmethod
-    def _read_full(f, nbytes: int) -> bytes:
+    def _read_full(f, nbytes: int, item: int = 1) -> bytes:
         """Read exactly nbytes unless EOF: FIFOs/pipes return short reads
         mid-stream, which must NOT end the stream (np.fromfile also needs a
-        seekable file, so the fallback reads raw bytes)."""
+        seekable file, so the fallback reads raw bytes). The result is
+        trimmed to a multiple of ``item`` bytes (a capture cut mid-element
+        must not poison np.frombuffer)."""
         chunks = []
         got = 0
         while got < nbytes:
@@ -363,7 +364,8 @@ class StreamingIQSource:
                 break
             chunks.append(b)
             got += len(b)
-        return b"".join(chunks)
+        buf = b"".join(chunks)
+        return buf[: len(buf) - len(buf) % item]
 
     def _blocks_numpy(self):
         dtype, bpc = _FORMATS[self.fmt]
@@ -372,11 +374,10 @@ class StreamingIQSource:
         want = self.block_len * per_complex * item
         with open(self.path, "rb") as f:
             while True:
-                buf = self._read_full(f, want)
+                buf = self._read_full(f, want, item)
                 if not buf:
                     return
-                raw = np.frombuffer(buf[: len(buf) - len(buf) % item],
-                                    dtype=dtype)
+                raw = np.frombuffer(buf, dtype=dtype)
                 n = raw.size // per_complex
                 if n == 0:
                     return

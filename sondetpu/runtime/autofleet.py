@@ -198,15 +198,18 @@ class AutoFleet:
 
     def _rescan(self) -> None:
         self._refresh_centers()
-        # scan buffer entries are complex blocks or (i, q) plane pairs;
-        # the scan entry points accept a plane tuple directly, so no
-        # complex copy is ever materialized (for 1024-bin blocks that copy
-        # was ~400 MB per buffered block)
-        if self._recent and isinstance(self._recent[0], tuple):
-            wide = (np.concatenate([b[0] for b in self._recent]),
-                    np.concatenate([b[1] for b in self._recent]))
-        else:
-            wide = np.concatenate(self._recent)
+        # scan buffer entries are complex blocks or (i, q) plane pairs —
+        # possibly MIXED if the caller switches input forms mid-run.
+        # Normalize every entry to planes (complex entries split here, a
+        # cheap view-copy) so the scan entry points get one plane tuple and
+        # no full-buffer complex copy is ever materialized (for 1024-bin
+        # blocks that copy was ~400 MB per buffered block).
+        planes = [b if isinstance(b, tuple)
+                  else (np.ascontiguousarray(b.real.astype(np.float32)),
+                        np.ascontiguousarray(b.imag.astype(np.float32)))
+                  for b in self._recent]
+        wide = (np.concatenate([b[0] for b in planes]),
+                np.concatenate([b[1] for b in planes]))
         carriers = detect_carriers(wide, self.fs_wide,
                                    min_snr_db=self.min_snr_db)
         fresh = [c for c in carriers if not self._known(c.center_hz)
