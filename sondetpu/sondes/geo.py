@@ -90,3 +90,35 @@ def utc_to_gps_time(utc_epoch, leap=GPS_UTC_LEAP_SECONDS):
     week = np.floor(t / 604800.0)
     tow = t - week * 604800.0
     return week.astype(np.int64), tow
+
+
+def ymd_sod_to_utc(year, month, day, seconds_of_day):
+    """Calendar date (UTC) + seconds-of-day -> Unix epoch seconds.
+
+    Civil-date arithmetic (Howard Hinnant's days_from_civil algorithm) —
+    no libc dependency, valid for any Gregorian date."""
+    y = int(year) - (1 if int(month) <= 2 else 0)
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    m = int(month)
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + int(day) - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    days = era * 146097 + doe - 719468
+    return days * 86400.0 + float(seconds_of_day)
+
+
+def utc_to_ymd_sod(utc_epoch):
+    """Unix epoch seconds -> (year, month, day, seconds_of_day), UTC."""
+    t = float(utc_epoch)
+    days = int(np.floor(t / 86400.0))
+    sod = t - days * 86400.0
+    z = days + 719468
+    era = (z if z >= 0 else z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + (3 if mp < 10 else -9)
+    return y + (1 if m <= 2 else 0), m, d, sod

@@ -2,11 +2,11 @@
 
 Re-creates sondedump's Meisei decoder capability (SURVEY.md S4; reference
 API decoder.hpp:10; BCH FEC per BASELINE.json:10; 20 kHz shared channel
-entry "iMS100/RS-11G" per main.hpp:47; GPS+T+RH per README.md:14-15).
+entry "iMS100/RS-11G" per main.hpp:38,47; GPS+T+RH per README.md:14-15).
 
-On-air structure (the public parts — sync word, code, block layout — are
-real; the field map inside the corrected payload is framework-defined;
-provenance audit in PROTOCOLS.md "ims100"):
+On-air structure (sync word, code, block layout, word orientation and the
+GPS scalings are the public parts; the exact word positions are
+reconstructed — per-field provenance audit in PROTOCOLS.md "ims100"):
 
   physical: 2400 Bd GFSK NRZ.
   subframe (576 bits = 72 bytes, ~4.2/s):
@@ -14,23 +14,38 @@ provenance audit in PROTOCOLS.md "ims100"):
     bits 24-575  12 blocks of 46 bits, each a SHORTENED BCH(63,51) t=2
                  codeword (the first 17 message bits are an implicit zero
                  prefix, not transmitted): 34 data bits + 12 parity bits.
-  payload (12 x 34 = 408 bits -> 51 bytes): alternating EVEN (position) /
-  ODD (PTU/serial) half-frames keyed by the frame counter's parity — the
-  protocol's interleaved even/odd structure (SURVEY.md S4) — reassembled
-  per channel across subframes:
-    0x00 u16 frame_no (parity selects the half)
-    EVEN: 0x02 u32 tow_ms | 0x06 u16 week | 0x08 i32 lat 1e-7 |
-          0x0C i32 lon 1e-7 | 0x10 i32 alt cm | 0x14 u16 speed cm/s |
-          0x16 u16 heading cdeg | 0x18 i16 climb cm/s
-    ODD:  0x02 8B serial ASCII | 0x0A u16 temp cK | 0x0C u16 rh c%
-  (little-endian; [framework] — modulator/parser-consistent, to re-verify
-  against recorded IQ per SURVEY.md §7.)
+  payload: each block's 34 data bits carry TWO big-endian 16-bit words
+  (+2 spare bits) -> 24 words w[0..23] per subframe.  Subframes alternate
+  EVEN (position) / ODD (PTU/serial) halves keyed by the frame counter's
+  parity (the protocol's interleaved even/odd structure, SURVEY.md S4):
+
+    w0        u16  frame counter (parity selects the half)
+    w1        u16  subframe type word; distinguishes iMS-100 from RS-11G
+                   (same framing/decoder for both — the reference binds ONE
+                   sondedump decoder to the combined entry, main.hpp:38,47;
+                   the type VALUES here are framework-defined)
+    EVEN: w2|w3   u32  milliseconds of UTC day
+          w4|w5   u32  date, decimal YYMMDD
+          w6|w7   u32  latitude,  NMEA ddmm.mmmm x 1e4
+          w8|w9   u32  longitude, NMEA dddmm.mmmm x 1e4 (+2^31 = south/west
+                       via sign bit)
+          w10|w11 i32  altitude, cm
+          w12     u16  ground speed, 0.01 kt
+          w13     u16  heading, 0.01 deg
+    ODD:  w2      u16  temperature, cK   [framework — real Meisei PTU is
+          w3      u16  RH, c%             raw counts + transmitted per-sonde
+                                          calibration, not publicly mapped]
+          w4|w5   u32  serial, decimal (printed as-is; RS-11G ids get an
+                       "R" prefix)
+
+  Climb is not transmitted; it is derived host-side from successive
+  altitude fixes (dAlt/dt), as the upstream ecosystem does for families
+  without velocity words.
 """
 
 from __future__ import annotations
 
-import struct
-from typing import List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -48,7 +63,14 @@ N_BLOCKS = 12
 SHORT = 17                    # zero bits removed from each (63,51) codeword
 DATA_BITS = 34                # 51 - SHORT
 BLOCK_BITS = 46               # 63 - SHORT
-PAYLOAD_BYTES = 51            # 12 * 34 = 408 bits
+N_WORDS = 2 * N_BLOCKS        # two 16-bit words per block
+
+KNOTS2MS = 0.514444           # transmitted speed unit is centi-knots
+
+# subframe type words (framework-defined VALUES; the type-word dispatch
+# structure models sondedump's single decoder serving both models)
+TYPE_IMS100 = 0x0165
+TYPE_RS11G = 0x0247
 
 SPEC = ProtocolSpec(
     name="ims100",
@@ -84,35 +106,68 @@ def bch_46_34_decode(recv_bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return corrected[:, SHORT:51], ok
 
 
-def payload_to_block_bits(payload: np.ndarray) -> np.ndarray:
-    """51-byte payload -> [12, 46] shortened-codeword bit matrix."""
-    bits = np_bytes_to_bits(np.asarray(payload, np.uint8))  # 408 bits
-    return bch_46_34_encode(bits.reshape(N_BLOCKS, DATA_BITS))
+def words_to_block_bits(words: np.ndarray) -> np.ndarray:
+    """[24] u16 words -> [12, 46] shortened-codeword bit matrix."""
+    w = np.asarray(words, np.uint64).reshape(N_BLOCKS, 2)
+    data = np.zeros((N_BLOCKS, DATA_BITS), np.uint8)
+    for k in range(16):
+        data[:, k] = (w[:, 0] >> (15 - k)) & 1
+        data[:, 16 + k] = (w[:, 1] >> (15 - k)) & 1
+    return bch_46_34_encode(data)
 
 
-def block_bits_to_payload(blk_bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """[12, 46] received block bits -> (payload 51B, ok [12] per block).
+def block_bits_to_words(blk_bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """[12, 46] received block bits -> (words [24] u16, ok [12] per block).
 
-    Bad blocks zero their data bits; the parser accepts a half-frame when
-    the blocks covering ITS fields decoded (per-block erasure tolerance —
-    a frame with a corrupt tail block still yields telemetry)."""
+    Bad blocks zero their words; the parser accepts a half-frame when the
+    blocks covering ITS fields decoded (per-block erasure tolerance — a
+    frame with a corrupt tail block still yields telemetry)."""
     data, ok = bch_46_34_decode(blk_bits)
-    data = np.where(ok[:, None], data, 0).astype(np.uint8)
-    bits = np.zeros(PAYLOAD_BYTES * 8, np.uint8)
-    bits[: N_BLOCKS * DATA_BITS] = data.reshape(-1)
-    return np_bits_to_bytes(bits), ok
+    data = np.where(ok[:, None], data, 0).astype(np.uint64)
+    weights = (1 << np.arange(15, -1, -1)).astype(np.uint64)
+    w_hi = (data[:, :16] * weights).sum(axis=1)
+    w_lo = (data[:, 16:32] * weights).sum(axis=1)
+    return np.stack([w_hi, w_lo], axis=1).reshape(-1).astype(np.uint32), ok
 
 
-# blocks whose 34-bit spans cover each half's fields (bit ranges above)
-_EVEN_BLOCKS = slice(0, 7)    # bytes 0x00-0x19 -> bits 0..207 -> blocks 0-6
-_ODD_BLOCKS = slice(0, 4)     # bytes 0x00-0x0D -> bits 0..111 -> blocks 0-3
+def nmea_to_deg(val: int) -> float:
+    """NMEA (d)ddmm.mmmm x 1e4 (sign in bit 31) -> decimal degrees."""
+    sign = -1.0 if val & 0x80000000 else 1.0
+    v = (val & 0x7FFFFFFF) / 1e6          # ddmm.mmmm -> dd.mmmmmm
+    deg = int(v)
+    return sign * (deg + (v - deg) * 100.0 / 60.0)
+
+
+def deg_to_nmea(deg: float) -> int:
+    """Inverse of nmea_to_deg (for the modulator)."""
+    sign = 0x80000000 if deg < 0 else 0
+    deg = abs(deg)
+    d = int(deg)
+    minutes = (deg - d) * 60.0
+    return sign | (d * 1000000 + int(round(minutes * 1e4)))
+
+
+# blocks whose words cover each half's fields
+_EVEN_BLOCKS = slice(0, 7)    # w0..w13 -> blocks 0-6
+_ODD_BLOCKS = slice(0, 3)     # w0..w5  -> blocks 0-2
 
 
 class IMS100Decoder(SondeDecoderBase):
     spec = SPEC
 
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._subtype: Dict[int, str] = {}
+        self._last_fix: Dict[int, Tuple[float, float]] = {}  # ch -> (t, alt)
+
     def reset_channel(self, channel: int) -> None:
-        pass                                  # stateless per subframe
+        self._subtype.pop(channel, None)
+        self._last_fix.pop(channel, None)
+
+    def subtype(self, channel: int) -> Optional[str]:
+        """Model detected on the channel ("iMS-100" / "RS-11G"), mirroring
+        the reference's combined entry (main.hpp:47)."""
+        return self._subtype.get(channel)
 
     def decode_byte_frames(self, frames: np.ndarray, channels
                            ) -> List[Tuple[int, TelemetryFragment]]:
@@ -124,85 +179,102 @@ class IMS100Decoder(SondeDecoderBase):
             if f[:3].tobytes() != SYNCWORD:
                 continue
             bits = np_bytes_to_bits(f)[24:24 + N_BLOCKS * BLOCK_BITS]
-            payload, ok = block_bits_to_payload(bits.reshape(N_BLOCKS, BLOCK_BITS))
-            if not ok[0]:                  # frame counter block
+            words, ok = block_bits_to_words(bits.reshape(N_BLOCKS, BLOCK_BITS))
+            if not ok[0]:                  # counter + type word block
                 continue
-            half = int(payload[0]) & 1
+            half = int(words[0]) & 1
             need = _EVEN_BLOCKS if half == 0 else _ODD_BLOCKS
             if not ok[need].all():
                 continue
-            frag = self._parse_payload(payload, ch)
+            frag = self._parse_words(words, ch)
             if frag is not None and frag.fields:
                 out.append((ch, frag))
         return out
 
-    def _parse_payload(self, p: np.ndarray, ch: int) -> TelemetryFragment:
+    def _parse_words(self, w: np.ndarray, ch: int) -> Optional[TelemetryFragment]:
         frag = TelemetryFragment()
-        frag.seq, = struct.unpack("<H", p[0:2].tobytes())
+        frag.seq = int(w[0])
         frag.fields |= Fields.SEQ
-        half = frag.seq & 1
-        if half == 0:
-            tow_ms, week = struct.unpack("<IH", p[2:8].tobytes())
-            lat, lon, alt_cm = struct.unpack("<iii", p[8:20].tobytes())
-            spd, hdg = struct.unpack("<HH", p[20:24].tobytes())
-            climb, = struct.unpack("<h", p[24:26].tobytes())
-            frag.time = float(geo.gps_time_to_utc(week, tow_ms / 1000.0))
-            frag.fields |= Fields.TIME
+        subtype = {TYPE_IMS100: "iMS-100", TYPE_RS11G: "RS-11G"}.get(int(w[1]))
+        if subtype is not None:
+            self._subtype[ch] = subtype
+        if frag.seq & 1 == 0:
+            ms_of_day = (int(w[2]) << 16) | int(w[3])
+            date = (int(w[4]) << 16) | int(w[5])
+            if ms_of_day < 86400000 and date > 0:
+                yy, mm, dd = date // 10000, (date // 100) % 100, date % 100
+                frag.time = float(geo.ymd_sod_to_utc(
+                    2000 + yy, mm, dd, ms_of_day / 1000.0))
+                frag.fields |= Fields.TIME
+            lat = nmea_to_deg((int(w[6]) << 16) | int(w[7]))
+            lon = nmea_to_deg((int(w[8]) << 16) | int(w[9]))
+            alt_cm = np.int32((int(w[10]) << 16) | int(w[11]))
             if not (lat == 0 and lon == 0):
-                frag.lat, frag.lon, frag.alt = lat * 1e-7, lon * 1e-7, alt_cm / 100.0
-                frag.speed = spd / 100.0
-                frag.heading = hdg / 100.0
-                frag.climb = climb / 100.0
+                frag.lat, frag.lon, frag.alt = lat, lon, float(alt_cm) / 100.0
+                frag.speed = int(w[12]) / 100.0 * KNOTS2MS
+                frag.heading = int(w[13]) / 100.0
+                # climb derived from successive fixes (not transmitted)
+                prev = self._last_fix.get(ch)
+                t_now = frag.time if frag.fields & Fields.TIME else None
+                if prev is not None and t_now is not None and t_now > prev[0]:
+                    frag.climb = (frag.alt - prev[1]) / (t_now - prev[0])
+                if t_now is not None:
+                    self._last_fix[ch] = (t_now, frag.alt)
                 frag.fields |= Fields.POS | Fields.SPEED
         else:
-            serial = p[2:10].tobytes().decode("ascii", errors="replace").strip("\x00 ")
-            if serial:
-                frag.serial = serial
-                frag.fields |= Fields.SERIAL
-            t_raw, rh_raw = struct.unpack("<HH", p[10:14].tobytes())
-            frag.temp = t_raw / 100.0 - 273.15
-            frag.rh = rh_raw / 100.0          # iMS-100 carries RH (README.md:14)
+            frag.temp = int(w[2]) / 100.0 - 273.15
+            frag.rh = int(w[3]) / 100.0       # iMS-100/RS-11G carry RH
             frag.pressure = 0.0
             frag.calib_percent = 100.0
             frag.fields |= Fields.PTU
+            serial_num = (int(w[4]) << 16) | int(w[5])
+            if serial_num:
+                prefix = "R" if self._subtype.get(ch) == "RS-11G" else ""
+                frag.serial = prefix + str(serial_num)
+                frag.fields |= Fields.SERIAL
         return frag
 
 
 class IMS100Truth:
-    def __init__(self, serial="IMS10001", frame_no=1, lat=35.7, lon=139.7,
+    def __init__(self, serial="2136051", frame_no=1, lat=35.7, lon=139.7,
                  alt=18000.0, speed=20.0, heading=45.0, climb=4.0,
-                 temp=-60.0, rh=8.0, time_utc=1.7e9):
+                 temp=-60.0, rh=8.0, time_utc=1.7e9, rs11g=False):
         self.serial, self.frame_no = serial, frame_no
         self.lat, self.lon, self.alt = lat, lon, alt
         self.speed, self.heading, self.climb = speed, heading, climb
         self.temp, self.rh, self.time_utc = temp, rh, time_utc
+        self.rs11g = rs11g
 
 
 class IMS100Modulator:
     spec = SPEC
 
     def build_frame(self, t: IMS100Truth, half: int) -> np.ndarray:
-        p = np.zeros(PAYLOAD_BYTES, dtype=np.uint8)
+        w = np.zeros(N_WORDS, dtype=np.uint32)
         # frame counter parity selects the half
         fn = (t.frame_no & ~1) | (half & 1)
-        p[0:2] = np.frombuffer(struct.pack("<H", fn & 0xFFFF), np.uint8)
+        w[0] = fn & 0xFFFF
+        w[1] = TYPE_RS11G if t.rs11g else TYPE_IMS100
         if half % 2 == 0:
-            week, tow = geo.utc_to_gps_time(t.time_utc)
-            p[2:8] = np.frombuffer(struct.pack(
-                "<IH", int(round(tow * 1000)), int(week)), np.uint8)
-            p[8:20] = np.frombuffer(struct.pack(
-                "<iii", int(round(t.lat * 1e7)), int(round(t.lon * 1e7)),
-                int(round(t.alt * 100))), np.uint8)
-            p[20:24] = np.frombuffer(struct.pack(
-                "<HH", int(round(t.speed * 100)),
-                int(round(t.heading * 100)) % 36000), np.uint8)
-            p[24:26] = np.frombuffer(struct.pack("<h", int(round(t.climb * 100))), np.uint8)
+            y, mo, d, sod = geo.utc_to_ymd_sod(t.time_utc)
+            ms = int(round(sod * 1000.0))
+            w[2], w[3] = ms >> 16, ms & 0xFFFF
+            date = (y % 100) * 10000 + mo * 100 + d
+            w[4], w[5] = date >> 16, date & 0xFFFF
+            lat = deg_to_nmea(t.lat)
+            lon = deg_to_nmea(t.lon)
+            w[6], w[7] = lat >> 16, lat & 0xFFFF
+            w[8], w[9] = lon >> 16, lon & 0xFFFF
+            alt = int(round(t.alt * 100)) & 0xFFFFFFFF
+            w[10], w[11] = alt >> 16, alt & 0xFFFF
+            w[12] = int(round(t.speed / KNOTS2MS * 100)) & 0xFFFF
+            w[13] = int(round(t.heading * 100)) % 36000
         else:
-            p[2:10] = np.frombuffer(t.serial.encode("ascii")[:8].ljust(8), np.uint8)
-            p[10:14] = np.frombuffer(struct.pack(
-                "<HH", int(round((t.temp + 273.15) * 100)),
-                int(round(t.rh * 100))), np.uint8)
-        blk = payload_to_block_bits(p)                     # [12, 46]
+            w[2] = int(round((t.temp + 273.15) * 100)) & 0xFFFF
+            w[3] = int(round(t.rh * 100)) & 0xFFFF
+            sn = int(t.serial.lstrip("R"))
+            w[4], w[5] = sn >> 16, sn & 0xFFFF
+        blk = words_to_block_bits(w)                       # [12, 46]
         bits = np.zeros(FRAME_BYTES * 8, dtype=np.uint8)
         bits[0:24] = np_bytes_to_bits(np.frombuffer(SYNCWORD, np.uint8))
         bits[24:24 + N_BLOCKS * BLOCK_BITS] = blk.reshape(-1)

@@ -17,15 +17,36 @@ REAL on-air layout (public protocol; per-field provenance in PROTOCOLS.md
     0x12  i32  longitude, 1e-6 deg
     0x16  i32  altitude,  mm
     0x20  u16  GPS week
+    0x32  u24  RH reference-capacitance counts   [public-partial]
+    0x35  u24  RH sensor-capacitance counts      [public-partial]
     0x49  u16  NTC ADC counts (Shibaura PB5-41E thermistor; PROTOCOLS.md)
-    0x54  u16  RH centi-% [framework field — real M10 RH calibration is
-               not publicly mapped; PROTOCOLS.md]
     0x5D  5B   serial number bytes -> printed id "XNN-T-NNNNN"
     0x63  u16  rolling checksum over bytes 0x00..0x62
-  M20 frame (70 bytes): 0x00 u8 0x45; 0x01 u8 0x20 type; checksum u16 over
-    0x00..0x43 at 0x44. Field offsets follow the M10 layout through 0x20
-    [framework — real M20 offsets differ and are not encoded here;
-    PROTOCOLS.md]. No RH sensor (README.md:13).
+  RH is derived from the capacitance ratio r = C/C_ref as
+  RH = (r - 0.8955) / 0.002 % (capacitive-sensor model first published by
+  DF9DQ and carried by the open M10 decoders; offsets/constants
+  public-partial — reconstructed, unverified against recorded IQ).
+
+  M20 frame (70 bytes, big-endian; public layout of the open decoder
+  ecosystem, per-field provenance in PROTOCOLS.md "m10"):
+    0x00  u8   0x45  (= 69, bytes following the length byte)
+    0x01  u8   0x20  frame type
+    0x02  u16  NTC ADC counts (position reconstructed, low confidence)
+    0x08  u24  altitude, cm
+    0x0F  u24  GPS time of week, s
+    0x12  3B   serial number bytes
+    0x15  u8   frame counter
+    0x16  u16  inner block checksum over 0x02..0x15 (same rolling alg)
+    0x18  i16  vE cm/s;  0x1A  i16  vN cm/s
+    0x1C  i32  latitude,  1e-6 deg
+    0x20  i32  longitude, 1e-6 deg
+    0x24  i16  vU cm/s
+    0x26  u16  GPS week
+    0x44  u16  rolling checksum over bytes 0x00..0x43
+  No RH sensor (README.md:13). When the outer checksum fails but the inner
+  block checksum passes, the 0x02..0x15 block (alt/time/serial/counter) is
+  still accepted — the blocked layout exists exactly so receivers can
+  salvage the inner packet.
 
 Both subtypes decode on the same "m10" channel — the gather window is 103
 bytes and frames dispatch on the length/type bytes (mirroring the
@@ -77,6 +98,23 @@ SPEC = ProtocolSpec(
 _P = (1.07303516e-3, 2.41296733e-4, 2.26744154e-6, 6.52855181e-8)
 _RS = 12.1e3                  # series resistor of the ADC divider
 
+# M10 capacitive RH model (DF9DQ-derived, public-partial; PROTOCOLS.md):
+# RH% = (C/C_ref - _RH_C0) / _RH_C1
+_RH_C0, _RH_C1 = 0.8955, 0.002
+
+
+def m10_rh(counts: int, ref_counts: int) -> float:
+    """RH%% from the sensor/reference capacitance count pair."""
+    if ref_counts <= 0 or counts <= 0:
+        return float("nan")
+    rh = (counts / float(ref_counts) - _RH_C0) / _RH_C1
+    return float(min(100.0, max(0.0, rh)))
+
+
+def m10_rh_counts(rh: float, ref_counts: int = 1 << 20) -> Tuple[int, int]:
+    """Inverse of m10_rh (for the modulator)."""
+    return int(round(ref_counts * (_RH_C0 + _RH_C1 * rh))), ref_counts
+
 
 def m10_checksum(data: np.ndarray) -> int:
     """The M10/M20 rolling 16-bit checksum (public algorithm).
@@ -118,6 +156,13 @@ def ntc_adc(temp_c: float) -> int:
     real = [x.real for x in roots if abs(x.imag) < 1e-9 and 0.0 < x.real < 20.0]
     r = float(np.exp(min(real, key=lambda x: abs(x - 9.5))))
     return int(round(4096.0 * r / (_RS + r)))
+
+
+def m20_serial(b: np.ndarray) -> str:
+    """Printed-id reconstruction from the 3 serial bytes @0x12
+    (public-partial formatting, PROTOCOLS.md m10)."""
+    num = (int(b[1]) << 8) | int(b[2])
+    return "%1X%02u-%05u" % (int(b[0]) >> 4, int(b[0]) & 0xF, num)
 
 
 def m10_serial(b: np.ndarray) -> str:
@@ -163,9 +208,14 @@ class M10Decoder(SondeDecoderBase):
             return self._parse(f, is_m20=False)
         if f[0] == 0x45 and f[1] == 0x20:
             want = (int(f[0x44]) << 8) | int(f[0x45])
-            if m10_checksum(f[0:0x44]) != want:
-                return None
-            return self._parse(f, is_m20=True)
+            if m10_checksum(f[0:0x44]) == want:
+                return self._parse_m20(f, full=True)
+            # outer failed: salvage the inner 0x02..0x15 block if its own
+            # checksum (0x16) passes — alt/time/serial survive
+            blk = (int(f[0x16]) << 8) | int(f[0x17])
+            if m10_checksum(f[0x02:0x16]) == blk:
+                return self._parse_m20(f, full=False)
+            return None
         return None
 
     def _chase(self, w: np.ndarray, weak) -> Optional[TelemetryFragment]:
@@ -205,23 +255,53 @@ class M10Decoder(SondeDecoderBase):
                                                       vu / 100.0)
             frag.speed, frag.heading, frag.climb = float(spd), float(hdg), float(climb)
             frag.fields |= Fields.POS | Fields.SPEED
-        if is_m20:
-            frag.temp = float("nan")          # M20 layout: framework-only
-            frag.rh = float("nan")            # no RH on M20 (README.md:13)
-            frag.pressure = 0.0
-            frag.calib_percent = 100.0
-            frag.fields |= Fields.PTU
-        else:
-            adc, = struct.unpack(">H", f[0x49:0x4B].tobytes())
-            frag.temp = ntc_temp(adc)
-            rh_raw, = struct.unpack(">H", f[0x54:0x56].tobytes())
-            frag.rh = rh_raw / 100.0          # M10 carries RH (README.md:11)
-            frag.pressure = 0.0
-            frag.calib_percent = 100.0        # no calibration accumulation
-            frag.fields |= Fields.PTU
-            serial = m10_serial(f[0x5D:0x62])
-            frag.serial = serial
-            frag.fields |= Fields.SERIAL
+        adc, = struct.unpack(">H", f[0x49:0x4B].tobytes())
+        frag.temp = ntc_temp(adc)
+        rh_ref = int.from_bytes(f[0x32:0x35].tobytes(), "big")
+        rh_cnt = int.from_bytes(f[0x35:0x38].tobytes(), "big")
+        frag.rh = m10_rh(rh_cnt, rh_ref)      # M10 carries RH (README.md:11)
+        frag.pressure = 0.0
+        frag.calib_percent = 100.0            # no calibration accumulation
+        frag.fields |= Fields.PTU
+        serial = m10_serial(f[0x5D:0x62])
+        frag.serial = serial
+        frag.fields |= Fields.SERIAL
+        return frag
+
+    def _parse_m20(self, f: np.ndarray, full: bool) -> TelemetryFragment:
+        """M20 public layout (docstring above; PROTOCOLS.md 'm10').
+
+        full=False means only the inner 0x02..0x15 block verified."""
+        frag = TelemetryFragment()
+        frag.seq = int(f[0x15])
+        frag.fields |= Fields.SEQ
+        alt_cm = int.from_bytes(f[0x08:0x0B].tobytes(), "big")
+        tow_s = int.from_bytes(f[0x0F:0x12].tobytes(), "big")
+        adc, = struct.unpack(">H", f[0x02:0x04].tobytes())
+        frag.temp = ntc_temp(adc)
+        frag.rh = float("nan")                # no RH on M20 (README.md:13)
+        frag.pressure = 0.0
+        frag.calib_percent = 100.0
+        frag.fields |= Fields.PTU
+        frag.serial = m20_serial(f[0x12:0x15])
+        frag.fields |= Fields.SERIAL
+        if not full:
+            # week/lat/lon/velocity live outside the verified inner block;
+            # the salvage delivers seq + PTU + serial only (alt alone has no
+            # POS flag to ride on)
+            return frag
+        week, = struct.unpack(">H", f[0x26:0x28].tobytes())
+        frag.time = float(geo.gps_time_to_utc(week, float(tow_s)))
+        frag.fields |= Fields.TIME
+        ve, vn = struct.unpack(">hh", f[0x18:0x1C].tobytes())
+        lat, lon = struct.unpack(">ii", f[0x1C:0x24].tobytes())
+        vu, = struct.unpack(">h", f[0x24:0x26].tobytes())
+        if not (lat == 0 and lon == 0):
+            frag.lat, frag.lon, frag.alt = lat * 1e-6, lon * 1e-6, alt_cm / 100.0
+            spd, hdg, climb = geo.speed_heading_climb(ve / 100.0, vn / 100.0,
+                                                      vu / 100.0)
+            frag.speed, frag.heading, frag.climb = float(spd), float(hdg), float(climb)
+            frag.fields |= Fields.POS | Fields.SPEED
         return frag
 
 
@@ -252,6 +332,17 @@ def _serial_bytes(serial: str) -> np.ndarray:
     return b
 
 
+def _m20_serial_bytes(serial: str) -> np.ndarray:
+    """Inverse of m20_serial ("XNN-NNNNN"; tolerates the 3-part M10 form
+    by dropping the middle group)."""
+    parts = serial.split("-")
+    a, num = parts[0], int(parts[-1]) & 0xFFFF
+    b = np.zeros(3, np.uint8)
+    b[0] = (int(a[0], 16) << 4) | int(a[1:])
+    b[1], b[2] = (num >> 8) & 0xFF, num & 0xFF
+    return b
+
+
 class M10Modulator:
     spec = SPEC
 
@@ -264,8 +355,27 @@ class M10Modulator:
         week, tow = geo.utc_to_gps_time(t.time_eff)
         if t.m20:
             f[0], f[1] = 0x45, 0x20
-        else:
-            f[0], f[1], f[2] = 0x64, 0x9F, 0x20
+            f[0x02:0x04] = np.frombuffer(struct.pack(
+                ">H", ntc_adc(t.temp)), np.uint8)
+            f[0x08:0x0B] = np.frombuffer(int(round(t.alt * 100)).to_bytes(
+                3, "big"), np.uint8)
+            f[0x0F:0x12] = np.frombuffer(int(round(tow)).to_bytes(
+                3, "big"), np.uint8)
+            f[0x12:0x15] = _m20_serial_bytes(t.serial)
+            f[0x15] = t.frame_no & 0xFF
+            f[0x16:0x18] = np.frombuffer(struct.pack(
+                ">H", m10_checksum(f[0x02:0x16])), np.uint8)
+            f[0x18:0x1C] = np.frombuffer(struct.pack(
+                ">hh", int(round(t.ve * 100)), int(round(t.vn * 100))), np.uint8)
+            f[0x1C:0x24] = np.frombuffer(struct.pack(
+                ">ii", int(round(t.lat * 1e6)), int(round(t.lon * 1e6))), np.uint8)
+            f[0x24:0x26] = np.frombuffer(struct.pack(
+                ">h", int(round(t.vu * 100))), np.uint8)
+            f[0x26:0x28] = np.frombuffer(struct.pack(">H", int(week)), np.uint8)
+            f[0x44:0x46] = np.frombuffer(struct.pack(
+                ">H", m10_checksum(f[0:0x44])), np.uint8)
+            return w
+        f[0], f[1], f[2] = 0x64, 0x9F, 0x20
         f[0x04:0x0A] = np.frombuffer(struct.pack(
             ">hhh", int(round(t.ve * 100)), int(round(t.vn * 100)),
             int(round(t.vu * 100))), np.uint8)
@@ -275,17 +385,14 @@ class M10Modulator:
             ">iii", int(round(t.lat * 1e6)), int(round(t.lon * 1e6)),
             int(round(t.alt * 1000))), np.uint8)
         f[0x20:0x22] = np.frombuffer(struct.pack(">H", int(week)), np.uint8)
-        if t.m20:
-            f[0x44:0x46] = np.frombuffer(struct.pack(
-                ">H", m10_checksum(f[0:0x44])), np.uint8)
-        else:
-            f[0x49:0x4B] = np.frombuffer(struct.pack(
-                ">H", ntc_adc(t.temp)), np.uint8)
-            f[0x54:0x56] = np.frombuffer(struct.pack(
-                ">H", int(round(t.rh * 100))), np.uint8)
-            f[0x5D:0x62] = _serial_bytes(t.serial)
-            f[0x63:0x65] = np.frombuffer(struct.pack(
-                ">H", m10_checksum(f[0:0x63])), np.uint8)
+        rh_cnt, rh_ref = m10_rh_counts(t.rh)
+        f[0x32:0x35] = np.frombuffer(rh_ref.to_bytes(3, "big"), np.uint8)
+        f[0x35:0x38] = np.frombuffer(rh_cnt.to_bytes(3, "big"), np.uint8)
+        f[0x49:0x4B] = np.frombuffer(struct.pack(
+            ">H", ntc_adc(t.temp)), np.uint8)
+        f[0x5D:0x62] = _serial_bytes(t.serial)
+        f[0x63:0x65] = np.frombuffer(struct.pack(
+            ">H", m10_checksum(f[0:0x63])), np.uint8)
         return w
 
     def frames_to_chips(self, frames: np.ndarray) -> np.ndarray:

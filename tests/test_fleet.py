@@ -274,3 +274,48 @@ def test_mixed_fleet_with_afsk_member():
     assert 1 in telem
     assert telem[1].lat == pytest.approx(40.0, abs=1e-4)
     assert telem[1].pressure == pytest.approx(40.0, abs=0.1)
+
+
+def test_fused_matches_unfused():
+    """The single-dispatch fused fleet step (PFB + gathers + every group's
+    front end in one program, one concatenated readback) must produce
+    exactly the unfused path's telemetry — same PFB carry, same per-group
+    states, same packed bytes."""
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    n_bins = 8
+    fs_wide = n_bins * 48000.0
+    chans = [FleetChannel(pfb_bin=1, sonde="rs41"),
+             FleetChannel(pfb_bin=3, sonde="m10")]
+    rs41 = RS41Modulator()
+    bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=40 + i)) for i in range(3)]))
+    m10 = M10Modulator()
+    chips = m10.frames_to_chips(np.stack(
+        [m10.build_frame(M10Truth(frame_no=8 + i)) for i in range(10)]))
+
+    centers = None
+    results = []
+    for fused in (True, False):
+        fleet = FleetSession(chans, n_bins=n_bins, fused=fused)
+        assert fleet._fused is fused
+        if centers is None:
+            centers = fleet.pfb.center_freqs(fs_wide)
+            sig = (_narrowband_at_wideband(bits, 4800.0, 2400.0, fs_wide,
+                                           centers[1]),
+                   _narrowband_at_wideband(chips, 9600.0, 12000.0, fs_wide,
+                                           centers[3], bt=0.7))
+            w = n_bins * 48000
+            n = ((max(s.size for s in sig) + w - 1) // w) * w
+            wide = np.zeros(n, np.complex64)
+            for s in sig:
+                wide[:s.size] += s
+        ups = 0
+        for i in range(0, n - w + 1, w):
+            ups += fleet.process_wideband(wide[i:i + w])
+        ups += fleet.flush()
+        telem = fleet.telemetry
+        results.append((ups, {k: (t.serial, t.lat, t.alt, t.seq)
+                              for k, t in telem.items()}))
+    assert results[0] == results[1], results

@@ -104,10 +104,48 @@ def test_ims100_end_to_end():
     sess = _run("ims100", iq)
     assert sess.frames_seen >= 6
     t = sess.telemetry[0]
-    assert t.serial == "IMS10001"
-    assert t.lat == pytest.approx(35.7, abs=1e-6)
+    assert t.serial == "2136051"            # numeric Meisei id
+    assert t.lat == pytest.approx(35.7, abs=1e-6)   # NMEA ddmm.mmmm words
+    assert t.lon == pytest.approx(139.7, abs=1e-6)
+    assert t.alt == pytest.approx(18000.0, abs=0.01)
+    assert t.spd == pytest.approx(20.0, abs=0.01)   # centi-knot word
     assert t.temp == pytest.approx(-60.0, abs=0.02)
     assert t.rh == pytest.approx(8.0, abs=0.02)
+    assert sess.decoder.subtype(0) == "iMS-100"
+
+
+def test_rs11g_subtype_end_to_end():
+    """RS-11G decodes on the same channel via the type-word dispatch (the
+    reference's combined iMS100/RS-11G entry binds ONE sondedump decoder,
+    main.hpp:38,47; README.md:14-15 lists both models)."""
+    from sondetpu.sondes.ims100 import IMS100Modulator, IMS100Truth
+
+    mod = IMS100Modulator()
+    truths = [IMS100Truth(frame_no=3 + i, rs11g=True, serial="R52047")
+              for i in range(10)]
+    iq = mod.modulate(truths)
+    sess = _run("ims100", iq)
+    assert sess.frames_seen >= 6
+    t = sess.telemetry[0]
+    assert t.serial == "R52047"
+    assert t.lat == pytest.approx(35.7, abs=1e-6)
+    assert t.rh == pytest.approx(8.0, abs=0.02)     # RS-11G carries RH too
+    assert sess.decoder.subtype(0) == "RS-11G"
+
+
+def test_ims100_southern_western_hemisphere():
+    """NMEA sign-bit coordinates survive the round trip below the equator
+    (sign handling is where ddmm packings usually break)."""
+    from sondetpu.sondes.ims100 import IMS100Modulator, IMS100Truth
+
+    mod = IMS100Modulator()
+    truths = [IMS100Truth(frame_no=2 + i, lat=-34.61, lon=-58.38)
+              for i in range(8)]
+    iq = mod.modulate(truths)
+    sess = _run("ims100", iq)
+    t = sess.telemetry[0]
+    assert t.lat == pytest.approx(-34.61, abs=1e-6)
+    assert t.lon == pytest.approx(-58.38, abs=1e-6)
 
 
 def test_imet4_end_to_end():
@@ -189,12 +227,11 @@ def test_m20_end_to_end():
     assert sess.frames_seen >= 5
     t = sess.telemetry[0]
     assert t.lat == pytest.approx(52.2, abs=1e-5)
-    assert t.alt == pytest.approx(15000.0, abs=0.002)
+    assert t.alt == pytest.approx(15000.0, abs=0.01)    # cm resolution
     assert np.isnan(t.rh) or t.rh == 0.0    # no RH on M20 (README.md:13)
-    # M20 PTU/serial offsets are framework-only (PROTOCOLS.md m10): the
-    # decoder must not fabricate them
-    assert np.isnan(t.temp)
-    assert t.serial == ""
+    assert t.temp == pytest.approx(-55.0, abs=0.1)      # NTC ADC @0x02
+    assert t.serial == "910-12345"          # 3-byte M20 id (PROTOCOLS.md)
+    assert 30 <= t.seq <= 37                # explicit frame counter @0x15
 
 
 def test_m10_chase_repair_buys_snr():
@@ -255,8 +292,10 @@ def test_m20_chase_repair_uses_subframe_span():
     """M20 frames are shorter than the shared gather window; the dual-span
     weak-bit ranking (chase_spans) must give them IN-FRAME candidates —
     without it the top-ranked 'weak' bits land in the noise tail past the
-    70-byte frame and the repair never fires (measured 11 vs 5 of 12 at
-    7 dB)."""
+    70-byte frame and the repair never fires. (The margin over the no-chase
+    baseline shrank when the M20 inner-block-checksum salvage landed — the
+    baseline now recovers partial frames on its own — but chase must still
+    convert the remainder.)"""
     from sondetpu.sondes.m10 import M10Modulator, M10Truth, SPEC
 
     mod = M10Modulator()
@@ -270,8 +309,8 @@ def test_m20_chase_repair_uses_subframe_span():
         SPEC.extra.update(saved)
     dec_with = with_chase.metrics.frames_decoded
     dec_without = without.metrics.frames_decoded
-    assert dec_with >= 9, (dec_with, dec_without)
-    assert dec_with >= dec_without + 3, (dec_with, dec_without)
+    assert dec_with >= 11, (dec_with, dec_without)
+    assert dec_with > dec_without, (dec_with, dec_without)
 
 
 def test_golden_on_air_bytes_pinned():
@@ -295,9 +334,14 @@ def test_golden_on_air_bytes_pinned():
 
     m = M10Modulator().build_frame(M10Truth(frame_no=1))
     assert bytes(m[:8]).hex() == "aaaa649f2000fe70"   # preamble+len/type+vE
-    assert bytes(m[0x65:0x67]).hex() == "790a"        # rolling checksum
+    assert bytes(m[0x65:0x67]).hex() == "bc73"        # rolling checksum
     assert hashlib.sha256(bytes(m)).hexdigest().startswith(
-        "2194d472a8aba6d53acb78dfa194c78c")
+        "ebca542f01d05f904d4cdc831d841b8c")
+
+    m20 = M10Modulator().build_frame(M10Truth(frame_no=1, m20=True))
+    assert bytes(m20[:8]).hex() == "aaaa45200f560000"  # len/type + NTC ADC
+    assert hashlib.sha256(bytes(m20)).hexdigest().startswith(
+        "f3024a137894c39f03592614f10aa1da")
 
     imod = IMET4Modulator()
     assert bytes(imod.build_ptu(IMET4Truth(frame_no=1))).hex() == \
@@ -306,9 +350,9 @@ def test_golden_on_air_bytes_pinned():
         "0102000020420000d2c2786909160d144af9"
 
     i = IMS100Modulator().build_frame(IMS100Truth(frame_no=2), half=0)
-    assert bytes(i[:4]).hex() == "fb623002"           # real Meisei sync
+    assert bytes(i[:4]).hex() == "fb623000"           # real Meisei sync
     assert hashlib.sha256(bytes(i)).hexdigest().startswith(
-        "d02cece389b4c96b90bbe0b3bd48cc5f")
+        "a6431c4ae87fedcb7c19f118e3875a80")
 
     r = RS41Modulator().build_frame(RS41Truth(frame_no=1))
     assert bytes(r[:8]).hex() == "8635f44093df1a60"   # descrambled sync
