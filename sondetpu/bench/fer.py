@@ -79,5 +79,10 @@ def fer_sweep(sonde: str, snrs_db: Sequence[float], n_frames: int = 20,
         fer = 1.0 - min(total_decoded / denom, 1.0)
         points.append({"snr_db": snr, "decoded": total_decoded,
                        "fer": round(fer, 4)})
-    return {"sonde": sonde, "n_frames": n_frames,
-            "clean_units": clean_units, "points": points}
+    # self-describing artifact (VERDICT r3 weak item 4): what one decode
+    # unit IS for this family, and what the FER denominator was
+    unit = {"imet4": "packets (PTU/GPS/XDATA each count separately)",
+            "c50": "telegrams (one quantity each)"}.get(sonde, "frames")
+    return {"sonde": sonde, "n_frames_modulated": n_frames,
+            "decode_unit": unit,
+            "fer_denominator_clean_units": clean_units, "points": points}

@@ -156,6 +156,15 @@ def cmd_decode(args) -> int:
                           if int_ingest else "f32")
     sess = DecoderSession(pcfg, on_update=on_update,
                           host_workers=args.host_workers)
+    # offline replay date base for date-less protocols (iMet-4 sends only
+    # hh:mm:ss): --ref-epoch wins; a regular file's mtime is the default,
+    # so replaying a recorded capture stamps the capture day, not today.
+    # Live sources (FIFOs, character devices) keep the wall clock.
+    if hasattr(sess.decoder, "ref_epoch"):
+        if getattr(args, "ref_epoch", None) is not None:
+            sess.decoder.ref_epoch = float(args.ref_epoch)
+        elif not args.stream and os.path.isfile(args.iq):
+            sess.decoder.ref_epoch = os.path.getmtime(args.iq)
     if args.trace:
         # device-kernel tracing (SURVEY.md §5.1): Perfetto-viewable
         import jax
@@ -531,6 +540,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "frequency control; GFSK/FSK families)")
     pd.add_argument("--checkpoint", default=None, help="save state on exit")
     pd.add_argument("--resume", default=None, help="restore state first")
+    pd.add_argument("--ref-epoch", type=float, default=None,
+                    help="capture-time epoch seconds for date-less "
+                         "protocols (iMet-4); default: IQ file mtime")
     pd.add_argument("--stream", action="store_true",
                     help="stream the file/FIFO with the native prefetching "
                          "reader (O(block) memory) instead of loading it")

@@ -146,42 +146,82 @@ class MultiGPXWriter:
     PER-SERIAL dedup state, safe under interleaved updates from many
     concurrent sondes (a single GPXWriter would thrash start_track on
     every alternation and its writer-global dedup would drop points whose
-    timestamps collide across sondes). The file is rewritten atomically
-    (tmp + replace), so it is ALWAYS complete well-formed XML; unlike
-    GPXWriter's per-point terminate-file trick, a crash loses at most the
-    points since the last rewrite (bounded to ~1/8 of the file by the
-    adaptive flush below — the price of supporting interleaved tracks in
-    one file without O(total^2) rewrite cost)."""
+    timestamps collide across sondes).
 
-    MIN_FLUSH = 8            # rewrites are O(total points): flushing every
+    Durability model (keeps the reference's per-point crash-safety
+    invariant, gpx.cpp:98-110, at fleet scale): every accepted point is
+    APPENDED AND FLUSHED to a per-serial segment file under ``<path>.d/``
+    before anything else — a crash loses at most the one partially-written
+    point per track, and memory stays O(#serials), not O(#points). The
+    merged ``<path>`` master is rebuilt atomically (tmp + replace, always
+    complete well-formed XML) every max(8, total/8) points by STREAMING the
+    segment files, and on close; a clean close removes the segment
+    directory. ``init()`` on a path whose segment directory survived a
+    crash recovers every flushed point into the master and continues the
+    same tracks."""
+
+    MIN_FLUSH = 8            # master rewrites are O(total points): every
                              # max(8, total/8) adds keeps total rewrite work
                              # O(n log n) on long runs instead of O(n^2)
 
     def __init__(self, path: str = ""):
         self._path = ""
-        self._tracks: "dict[str, list[str]]" = {}
+        self._dir = ""
+        self._segs: "dict[str, object]" = {}      # serial -> open fd
+        self._fnames: "dict[str, str]" = {}       # serial -> segment path
         self._last: "dict[str, tuple]" = {}
         self._pending = 0
+        self._total = 0
         if path:
             if not self.init(path):
                 raise OSError(f"cannot open GPX output {path!r}")
 
     def init(self, path: str) -> bool:
         if self._path:
-            self._rewrite()                # persist the previous file
+            self.deinit()                  # persist the previous file
+        d = path + ".d"
         try:
-            with open(path, "wb") as f:
-                f.write(_GPX_HEADER.encode())
-                f.write(b"</gpx>\n")
+            os.makedirs(d, exist_ok=True)
         except OSError:
             return False
-        # fresh file: fresh tracks and dedup state (re-init must not leak
-        # the previous file's contents into the new one)
-        self._tracks = {}
-        self._last = {}
-        self._pending = 0
-        self._path = path
+        self._segs, self._fnames, self._last = {}, {}, {}
+        self._pending = self._total = 0
+        self._path, self._dir = path, d
+        # crash recovery: segment files left by a killed run are adopted —
+        # their serials come from the header line inside each file
+        for fn in sorted(os.listdir(d)):
+            fp = os.path.join(d, fn)
+            try:
+                with open(fp, "rb") as f:
+                    head = f.readline().decode("utf-8", "replace")
+                    self._total += sum(1 for ln in f if ln.startswith(b"<trkpt"))
+            except OSError:
+                continue
+            if head.startswith("#serial "):
+                self._fnames[head[8:].rstrip("\n")] = fp
+        try:
+            self._rewrite()
+        except OSError:
+            self._path = self._dir = ""
+            return False
         return True
+
+    def _segment(self, serial: str):
+        fd = self._segs.get(serial)
+        if fd is None:
+            fp = self._fnames.get(serial)
+            if fp is None:
+                safe = "".join(c if c.isalnum() or c in "._-" else "_"
+                               for c in serial)
+                fp = os.path.join(self._dir,
+                                  f"{safe}-{len(self._fnames):04d}.seg")
+                self._fnames[serial] = fp
+            new = not os.path.exists(fp)
+            fd = open(fp, "ab")
+            if new:
+                fd.write(f"#serial {serial}\n".encode())
+            self._segs[serial] = fd
+        return fd
 
     def add_track_point(self, serial: str, time: float, lat: float,
                         lon: float, alt: float, spd: float, hdg: float) -> None:
@@ -199,36 +239,57 @@ class MultiGPXWriter:
             return
         self._last[serial] = (time, lat, lon, alt)
         timestr = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(time))
-        self._tracks.setdefault(serial, []).append(
-            f'<trkpt lat="{lat:f}" lon="{lon:f}">\n'
-            f"<time>{timestr}</time>\n"
-            f"<ele>{alt:f}</ele>\n"
-            f"<speed>{spd:f}</speed>\n"
-            f"<course>{hdg:f}</course>\n"
-            f"</trkpt>\n")
+        fd = self._segment(serial)
+        fd.write((f'<trkpt lat="{lat:f}" lon="{lon:f}">\n'
+                  f"<time>{timestr}</time>\n"
+                  f"<ele>{alt:f}</ele>\n"
+                  f"<speed>{spd:f}</speed>\n"
+                  f"<course>{hdg:f}</course>\n"
+                  f"</trkpt>\n").encode())
+        fd.flush()                         # the crash-safety invariant
         self._pending += 1
-        total = sum(len(p) for p in self._tracks.values())
-        if self._pending >= max(self.MIN_FLUSH, total // 8):
+        self._total += 1
+        if self._pending >= max(self.MIN_FLUSH, self._total // 8):
             self._rewrite()
 
     def _rewrite(self) -> None:
+        """Rebuild the merged master by streaming the segment files."""
         from xml.sax.saxutils import escape
         tmp = self._path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(_GPX_HEADER.encode())
-            for serial, pts in self._tracks.items():
+            for serial, fp in self._fnames.items():
+                fd = self._segs.get(serial)
+                if fd is not None:
+                    fd.flush()
                 f.write(f"<trk>\n<name>{escape(serial)}</name>\n"
                         f"<trkseg>\n".encode())
-                for p in pts:
-                    f.write(p.encode())
+                try:
+                    with open(fp, "rb") as seg:
+                        seg.readline()     # the #serial header
+                        for chunk in iter(lambda: seg.read(1 << 16), b""):
+                            f.write(chunk)
+                except OSError:
+                    pass
                 f.write(b"</trkseg>\n</trk>\n")
             f.write(b"</gpx>\n")
         os.replace(tmp, self._path)
         self._pending = 0
 
     def deinit(self) -> None:
-        if self._path:
-            self._rewrite()
-        self._path = ""
+        if not self._path:
+            return
+        self._rewrite()
+        for fd in self._segs.values():
+            fd.close()
+        # clean close: the master holds everything; drop the segment dir
+        try:
+            for fp in self._fnames.values():
+                os.unlink(fp)
+            os.rmdir(self._dir)
+        except OSError:
+            pass
+        self._path = self._dir = ""
+        self._segs, self._fnames = {}, {}
 
     close = deinit

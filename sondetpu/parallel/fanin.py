@@ -43,9 +43,19 @@ def _allgather(x: np.ndarray) -> np.ndarray:
 
 def allgather_rows(rows: np.ndarray, cap: int = 256) -> np.ndarray:
     """Gather variable-count per-process float rows: [n_local, F] ->
-    [n_total, F] on every process (rows beyond ``cap`` per process drop)."""
+    [n_total, F] on every process.
+
+    ``cap`` is the fixed per-process wire width (collectives need static
+    shapes); every process must pass the SAME cap. Size it from the
+    session's channel count (DecoderSession.telemetry_fanin does) — rows
+    beyond it drop WITH a warning, never silently."""
     rows = np.atleast_2d(np.asarray(rows, np.float32))
     n, f = rows.shape if rows.size else (0, len(ROW_FIELDS))
+    if n > cap:
+        import logging
+        logging.getLogger(__name__).warning(
+            "telemetry fan-in dropping %d of %d local rows (cap=%d; raise "
+            "the cap to the channel count)", n - cap, n, cap)
     buf = np.zeros((cap, f + 1), np.float32)
     k = min(n, cap)
     if k:

@@ -276,12 +276,18 @@ class DecoderSession:
             return res
         return self.pipeline.fetch_frames(frames_dev, ch_idx, slot_idx)
 
-    def telemetry_fanin(self, cap: int = 256) -> dict:
+    def telemetry_fanin(self, cap: Optional[int] = None) -> dict:
         """All-process telemetry view: gather every process's numeric
         telemetry rows over the fleet's collectives (SURVEY.md §5.8
         all_gather) -> {channel: {field: value}} on EVERY process. The
-        single-process form is just this session's telemetry."""
+        single-process form is just this session's telemetry.
+
+        The wire cap defaults to this session's channel count (every
+        process runs the same config, so the collective shape agrees) — no
+        channel can silently drop from the cross-host view."""
         from sondetpu.parallel import fanin
+        if cap is None:
+            cap = max(1, self.config.channels)
         rows = fanin.telemetry_rows(self.telemetry)
         return fanin.rows_to_dict(fanin.allgather_rows(rows, cap=cap))
 

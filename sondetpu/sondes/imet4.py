@@ -124,6 +124,13 @@ def parse_xdata_ozone(xdata: str) -> Optional[float]:
 class IMET4Decoder(SondeDecoderBase):
     spec = SPEC
 
+    # iMet transmits hh:mm:ss with no date; the date base defaults to the
+    # receiver wall clock (live streams). For OFFLINE REPLAY set ref_epoch
+    # (epoch seconds near the capture time — e.g. the IQ file's mtime, as
+    # the CLI does) so recorded captures stamp the capture day, not the
+    # decode day.
+    ref_epoch: Optional[float] = None
+
     def reset_channel(self, channel: int) -> None:
         pass
 
@@ -175,8 +182,7 @@ class IMET4Decoder(SondeDecoderBase):
         frag.fields |= Fields.PTU
         return frag
 
-    @staticmethod
-    def _parse_gps(p: np.ndarray) -> TelemetryFragment:
+    def _parse_gps(self, p: np.ndarray) -> TelemetryFragment:
         frag = TelemetryFragment()
         lat, lon = struct.unpack("<ff", p[2:10].tobytes())
         alt_raw, = struct.unpack("<H", p[10:12].tobytes())
@@ -190,7 +196,7 @@ class IMET4Decoder(SondeDecoderBase):
         # the date comes from the receiver clock, as the decoder ecosystem
         # conventionally does; near-midnight wraps pick the closer day.
         sod = hh * 3600.0 + mm * 60.0 + ss
-        now = _time.time()
+        now = self.ref_epoch if self.ref_epoch is not None else _time.time()
         midnight = now - (now % 86400.0)
         epoch = midnight + sod
         if epoch - now > 43200.0:

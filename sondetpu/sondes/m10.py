@@ -90,7 +90,7 @@ SPEC = ProtocolSpec(
            # bits per frame for the host's Chase checksum repair — once
            # over the full M10 window and once over the M20 subframe span
            # so short M20 frames get in-frame candidates (PROTOCOLS.md)
-           "chase_m": 8,
+           "chase_m": 12,
            "chase_spans": ((0, (2 + M10_LEN) * 8), (0, (2 + M20_LEN) * 8))},
 )
 
@@ -136,6 +136,75 @@ def m10_checksum(data: np.ndarray) -> int:
         c0 = b ^ t ^ s
         c = ((c1 << 8) | (c0 & 0xFF)) & 0xFFFF
     return c
+
+
+def m10_checksum_many(data: np.ndarray) -> np.ndarray:
+    """Vectorized m10_checksum over rows: [n, L] uint8 -> [n] uint16."""
+    data = np.atleast_2d(np.asarray(data, dtype=np.uint8))
+    c = np.zeros(data.shape[0], np.uint32)
+    for k in range(data.shape[1]):
+        b = data[:, k].astype(np.uint32)
+        c1 = c & 0xFF
+        b = (b >> 1) | ((b & 1) << 7)
+        b ^= (b >> 2) & 0xFF
+        t6 = (c ^ (c >> 2) ^ (c >> 4)) & 1
+        t7 = ((c >> 1) ^ (c >> 3) ^ (c >> 5)) & 1
+        t = (c & 0x3F) | (t6 << 6) | (t7 << 7)
+        s = (c >> 7) & 0xFF
+        s ^= (s >> 2) & 0xFF
+        c = ((c1 << 8) | ((b ^ t ^ s) & 0xFF)) & 0xFFFF
+    return c.astype(np.uint16)
+
+
+_SYND_CACHE: dict = {}
+_SYND_POS_CACHE: dict = {}
+
+
+def syndrome_positions(span_bytes: int) -> dict:
+    """syndrome value -> array of span/check positions producing it (for
+    O(1) completion lookups in the pair/triple search)."""
+    m = _SYND_POS_CACHE.get(span_bytes)
+    if m is None:
+        synd = checksum_syndromes(span_bytes)
+        allv = np.concatenate([synd, (1 << np.arange(15, -1, -1))
+                               .astype(np.uint32)])
+        order = np.argsort(allv, kind="stable")
+        sv = allv[order]
+        starts = np.searchsorted(sv, np.arange(1 << 16))
+        m = (allv, order, sv, starts)
+        _SYND_POS_CACHE[span_bytes] = m
+    return m
+
+
+def syndrome_lookup(span_bytes: int, value: int) -> np.ndarray:
+    """Positions (indices into the span+check flip table) whose single-flip
+    syndrome equals ``value``."""
+    allv, order, sv, starts = syndrome_positions(span_bytes)
+    v = int(value) & 0xFFFF
+    a = int(starts[v])
+    b = int(starts[v + 1]) if v + 1 < starts.size else sv.size
+    return order[a:b]
+
+
+def checksum_syndromes(span_bytes: int) -> np.ndarray:
+    """S[j] = checksum delta from flipping bit j (MSB-first) of a
+    span_bytes-long checksummed span.
+
+    The rolling checksum is GF(2)-LINEAR (every update step is built from
+    XORs, shifts, rotations and parity taps; checksum(0) == 0 — asserted
+    in tests), so check(x ^ e) == check(x) ^ check(e): repairing a failed
+    frame reduces to finding a small set of bit flips whose syndromes XOR
+    to the observed checksum mismatch. This is what lets the Chase search
+    cover EVERY bit position, not just the device-ranked weak bits."""
+    tab = _SYND_CACHE.get(span_bytes)
+    if tab is None:
+        nbits = span_bytes * 8
+        eye = np.zeros((nbits, span_bytes), np.uint8)
+        j = np.arange(nbits)
+        eye[j, j >> 3] = (0x80 >> (j & 7)).astype(np.uint8)
+        tab = m10_checksum_many(eye).astype(np.uint32)
+        _SYND_CACHE[span_bytes] = tab
+    return tab
 
 
 def ntc_temp(adc: int) -> float:
@@ -218,26 +287,154 @@ class M10Decoder(SondeDecoderBase):
             return None
         return None
 
+    # layouts the chase solver knows: (span_start, span_len, check_off)
+    # in FRAME byte coordinates (window bytes shift by +2 for the preamble)
+    _CHASE_LAYOUTS = {
+        "m10": (0x00, 0x63, 0x63),
+        "m20": (0x00, 0x44, 0x44),
+        "m20_inner": (0x02, 0x14, 0x16),
+    }
+
     def _chase(self, w: np.ndarray, weak) -> Optional[TelemetryFragment]:
-        """Soft-decision checksum repair: flip single and pair combinations
-        of the device-ranked weakest decoded bits (PROTOCOLS.md m10 — the
-        checksum-only protocol has no FEC; reliability-ordered re-slicing
-        is the only way to buy back SNR)."""
-        import itertools
+        """Soft-decision checksum repair by SYNDROME DECODING (PROTOCOLS.md
+        m10 — the checksum-only protocol has no FEC; reliability-ordered
+        re-slicing is the only way to buy back SNR).
+
+        The rolling checksum is GF(2)-linear (checksum_syndromes), so a
+        failing frame's checksum mismatch D identifies repair candidates
+        directly: any flip set whose syndromes XOR to D. The search covers
+        - single flips ANYWHERE in the span or the stored check bytes,
+        - pairs with at least one device-ranked weak bit,
+        - pairs and triples entirely within the weak set,
+        ordered by reliability, with every hit re-verified by a real
+        checksum pass (_try_window) plus a telemetry plausibility gate (a
+        16-bit check admits ~2e-5 false accepts per candidate; the gate
+        keeps repaired noise from fabricating telemetry at fleet scale)."""
         nbits = w.size * 8
-        weak = list(dict.fromkeys(                       # dedupe span lists
-            int(b) for b in np.asarray(weak).ravel() if 0 <= int(b) < nbits))
-        cands = [(i,) for i in range(len(weak))]
-        cands += list(itertools.combinations(range(len(weak)), 2))
-        for cand in cands:
-            w2 = w.copy()
-            for ci in cand:
-                b = weak[ci]
-                w2[b >> 3] ^= 0x80 >> (b & 7)
-            frag = self._try_window(w2)
+        weak = [int(b) for b in dict.fromkeys(           # dedupe span lists
+            int(b) for b in np.asarray(weak).ravel()) if 0 <= int(b) < nbits]
+        f = w[2:]
+        # dispatch on the closer frame-type header (it rode the correlated
+        # syncword, so it is almost always intact)
+        d10 = bin(int(f[0]) ^ 0x64).count("1") + bin(int(f[1]) ^ 0x9F).count("1")
+        d20 = bin(int(f[0]) ^ 0x45).count("1") + bin(int(f[1]) ^ 0x20).count("1")
+        layouts = ["m10"] if d10 <= d20 else ["m20", "m20_inner"]
+        for lay in layouts:
+            frag = self._chase_layout(w, weak, lay)
             if frag is not None:
                 return frag
         return None
+
+    def _chase_layout(self, w: np.ndarray, weak, lay: str,
+                      max_tries: int = 160) -> Optional[TelemetryFragment]:
+        span0, span_len, chk = self._CHASE_LAYOUTS[lay]
+        f = w[2:]
+        if chk + 2 > f.size:
+            return None
+        stored = (int(f[chk]) << 8) | int(f[chk + 1])
+        d = int(m10_checksum_many(f[span0:span0 + span_len][None])[0]) ^ stored
+        if d == 0:
+            return None                       # hard parse already handled it
+        synd = checksum_syndromes(span_len)   # [span_len*8] uint32
+        # window-bit coordinate of span bit j / stored-check bit b
+        span_w0 = (2 + span0) * 8
+        chk_w0 = (2 + chk) * 8
+        all_synd = np.concatenate([synd, (1 << np.arange(15, -1, -1))
+                                   .astype(np.uint32)])
+        all_wbit = np.concatenate([span_w0 + np.arange(span_len * 8),
+                                   chk_w0 + np.arange(16)])
+        # weak bits that fall inside this layout's span/check region
+        widx = [np.nonzero(all_wbit == b)[0] for b in weak]
+        widx = [int(i[0]) for i in widx if i.size]
+        wsynd = [int(all_synd[i]) for i in widx]
+
+        cands: List[Tuple[int, ...]] = []
+        seen = set()
+
+        def push(*idxs):
+            key = tuple(sorted(idxs))
+            if key not in seen:
+                seen.add(key)
+                cands.append(key)
+
+        nw = len(widx)
+        # 1. weak singles, then singles anywhere
+        for i, s in zip(widx, wsynd):
+            if s == d:
+                push(i)
+        for i in syndrome_lookup(span_len, d):
+            push(int(i))
+        # 2. pairs within the weak set (most reliable flips first)
+        for a in range(nw):
+            for b in range(a + 1, nw):
+                if wsynd[a] ^ wsynd[b] == d:
+                    push(widx[a], widx[b])
+        # 3. pairs with exactly one weak bit (dict completion lookups)
+        for i, s in zip(widx, wsynd):
+            for j in syndrome_lookup(span_len, d ^ s):
+                if int(j) != i:
+                    push(i, int(j))
+        # 4. triples within the weak set
+        for a in range(nw):
+            for b in range(a + 1, nw):
+                t = d ^ wsynd[a] ^ wsynd[b]
+                for c in range(b + 1, nw):
+                    if wsynd[c] == t:
+                        push(widx[a], widx[b], widx[c])
+        # 5. pairs with NO weak bit: complete every position against d
+        #    (~(span_bits^2)/2^16 real candidates — a handful)
+        for i in range(all_synd.size):
+            for j in syndrome_lookup(span_len, d ^ int(all_synd[i])):
+                if int(j) > i:
+                    push(i, int(j))
+            if len(cands) > 4 * max_tries:
+                break
+        # 6. triples with two weak bits + one anywhere
+        for a in range(nw):
+            for b in range(a + 1, nw):
+                t = d ^ wsynd[a] ^ wsynd[b]
+                for j in syndrome_lookup(span_len, t):
+                    if int(j) not in (widx[a], widx[b]):
+                        push(widx[a], widx[b], int(j))
+        # 7. quads within the weak set
+        for a in range(nw):
+            for b in range(a + 1, nw):
+                t2 = d ^ wsynd[a] ^ wsynd[b]
+                for c in range(b + 1, nw):
+                    t3 = t2 ^ wsynd[c]
+                    for e in range(c + 1, nw):
+                        if wsynd[e] == t3:
+                            push(widx[a], widx[b], widx[c], widx[e])
+
+        for cand in cands[:max_tries]:
+            w2 = w.copy()
+            for i in cand:
+                b = int(all_wbit[i])
+                w2[b >> 3] ^= 0x80 >> (b & 7)
+            frag = self._try_window(w2)
+            if frag is not None and self._plausible(frag):
+                return frag
+        return None
+
+    @staticmethod
+    def _plausible(frag: TelemetryFragment) -> bool:
+        """Sanity gate on chase-repaired telemetry (a repaired frame proved
+        only a 16-bit check; reject physically impossible fixes)."""
+        if frag.fields & Fields.POS:
+            if not (np.isfinite(frag.lat) and np.isfinite(frag.lon)
+                    and np.isfinite(frag.alt)):
+                return False
+            if abs(frag.lat) > 90.0 or abs(frag.lon) > 180.0:
+                return False
+            if not (-1000.0 < frag.alt < 60000.0):
+                return False
+        if frag.fields & Fields.SPEED:
+            if frag.speed > 200.0 or abs(frag.climb) > 150.0:
+                return False
+        if frag.fields & Fields.PTU and np.isfinite(frag.temp):
+            if not (-120.0 < frag.temp < 80.0):
+                return False
+        return True
 
     def _parse(self, f: np.ndarray, is_m20: bool = False) -> TelemetryFragment:
         frag = TelemetryFragment()

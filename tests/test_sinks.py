@@ -208,3 +208,56 @@ def test_convert_to_c64_truncated_file():
         else:
             os.environ["SONDETPU_NO_NATIVE"] = prior
         iqmod._native = None
+
+
+def test_multigpx_crash_loses_at_most_one_point_per_track(tmp_path):
+    """Fleet-scale crash safety (VERDICT r3 item 10): every accepted point
+    is flushed to a per-serial segment file before anything else, so a
+    SIGKILL mid-run loses at most the one partially-written point per
+    track, and a fresh init() on the same path recovers the rest into
+    valid XML."""
+    import subprocess
+    import sys
+    import xml.etree.ElementTree as ET
+
+    p = tmp_path / "fleet.gpx"
+    code = f"""
+import sys
+sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).parent.parent))})
+from sondetpu.io.gpx import MultiGPXWriter
+w = MultiGPXWriter({str(p)!r})
+for i in range(40):
+    for s in ("RS41-A", "M10-B"):
+        w.add_track_point(s, 1.7e9 + i, 47.0 + i * 1e-3, 8.0, 1000.0 + i,
+                          5.0, 90.0)
+    print("PT", i, flush=True)
+    if i == 33:
+        import os, signal
+        os.kill(os.getpid(), signal.SIGKILL)   # crash mid-run, no deinit
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True)
+    assert r.returncode != 0                       # really died
+    written = sum(1 for ln in r.stdout.splitlines() if ln.startswith("PT"))
+    assert written >= 30
+
+    # recovery: a new writer on the same path adopts the segments
+    from sondetpu.io.gpx import MultiGPXWriter
+    w2 = MultiGPXWriter(str(p))
+    tree = ET.parse(p)                             # valid XML
+    ns = {"g": "http://www.topografix.com/GPX/1/1"}
+    trks = tree.getroot().findall("g:trk", ns)
+    by_name = {t.find("g:name", ns).text:
+               len(t.findall(".//g:trkpt", ns)) for t in trks}
+    assert set(by_name) == {"RS41-A", "M10-B"}
+    for name, npts in by_name.items():
+        assert npts >= written - 1, (name, npts, written)   # <=1 lost point
+    # the recovered writer keeps appending to the same tracks
+    w2.add_track_point("RS41-A", 1.8e9, 48.0, 8.0, 2000.0, 5.0, 90.0)
+    w2.deinit()
+    tree = ET.parse(p)
+    trks = tree.getroot().findall("g:trk", ns)
+    by_name = {t.find("g:name", ns).text:
+               len(t.findall(".//g:trkpt", ns)) for t in trks}
+    assert by_name["RS41-A"] >= written
+    assert not (tmp_path / "fleet.gpx.d").exists()  # clean close tidies up

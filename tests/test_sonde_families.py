@@ -358,3 +358,53 @@ def test_golden_on_air_bytes_pinned():
     assert bytes(r[:8]).hex() == "8635f44093df1a60"   # descrambled sync
     assert hashlib.sha256(bytes(r)).hexdigest().startswith(
         "bb98c6170d68809ac6917da91c9233b3")
+
+
+def test_m10_checksum_linearity_and_vectorization():
+    """The syndrome-decoding chase rests on two facts: the rolling checksum
+    is GF(2)-linear with checksum(0) == 0, and m10_checksum_many matches
+    the scalar reference."""
+    from sondetpu.sondes.m10 import (checksum_syndromes, m10_checksum,
+                                     m10_checksum_many)
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, 99).astype(np.uint8)
+    b = rng.integers(0, 256, 99).astype(np.uint8)
+    assert m10_checksum(np.zeros(99, np.uint8)) == 0
+    assert (m10_checksum(a) ^ m10_checksum(b)) == m10_checksum(a ^ b)
+    assert int(m10_checksum_many(a[None])[0]) == m10_checksum(a)
+    # syndrome table: flipping bit j changes the checksum by S[j]
+    S = checksum_syndromes(99)
+    j = 123
+    e = np.zeros(99, np.uint8)
+    e[j >> 3] = 0x80 >> (j & 7)
+    assert int(S[j]) == m10_checksum(e)
+    assert (m10_checksum(a) ^ int(S[j])) == m10_checksum(a ^ e)
+
+
+def test_m10_syndrome_chase_6db_floor():
+    """The knee-mover (VERDICT r3 next item 3): syndrome decoding over the
+    GF(2)-linear checksum must hold FER <= 0.4 at 6 dB (was 0.82 in r3)
+    while 7-8 dB stays near the floor."""
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    iq = mod.modulate([M10Truth(frame_no=60 + i) for i in range(12)])
+    dec6 = sum(_run("m10", iq, snr_db=6.0, seed=s).metrics.frames_decoded
+               for s in range(3))
+    assert dec6 >= 22, dec6             # FER <= 0.39 over 36 frames
+
+
+def test_m10_chase_rejects_noise_frames():
+    """The widened chase search (pairs anywhere in the frame) is
+    CONSTRUCTED to satisfy the 16-bit checksum, so the telemetry
+    plausibility gate is the real defence: hopeless frames (0-2 dB) must
+    decode to NOTHING, never to fabricated fixes."""
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    iq = mod.modulate([M10Truth(frame_no=60 + i) for i in range(12)])
+    for snr, seed in ((0.0, 0), (2.0, 1)):
+        sess = _run("m10", iq, snr_db=snr, seed=seed)
+        assert sess.frames_seen > 0         # sync does fire...
+        assert sess.metrics.frames_decoded == 0, snr   # ...decode must not

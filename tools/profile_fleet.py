@@ -26,15 +26,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, iters=5):
+def _sync(out):
+    """Tunnel-proof sync: block_until_ready does NOT drain the queue on the
+    axon backend (tools/profile_stages.py) — pull a few bytes instead."""
     import jax
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "ravel")]
+    np.asarray(leaves[-1].ravel()[:1])
+
+
+def timeit(fn, *args, iters=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -102,13 +109,14 @@ def main():
 
     # channelized planes for the group stages
     _, yi, yq = fleet.pfb(pfb_state, wi, wq)
-    yi, yq = jax.block_until_ready((yi, yq))
+    _sync((yi, yq))
 
     for sonde, (idxs, sess) in fleet.groups.items():
         g = fleet._gathers[sonde]
         dt = timeit(lambda g=g: g(yi, yq), iters=iters)
         rows.append((f"gather:{sonde}", dt))
-        gi, gq = jax.block_until_ready(g(yi, yq))
+        gi, gq = g(yi, yq)
+        _sync((gi, gq))
         st = sess.pipeline.init_state()
         step = sess.pipeline._step  # donation: re-init state each call is
         # wrong; use non-donating trace via _step_impl jit-less? simplest:
@@ -129,14 +137,14 @@ def main():
 
         # donation: feed back returned states each call
         out = fused_once()
-        jax.block_until_ready(out)
+        _sync(out)
         fleet.pfb_state, states_l, packed, frames = out
         ts = []
         states_cur = states_l
         for _ in range(iters):
             t0 = time.perf_counter()
             out = fleet._fused_step(fleet.pfb_state, states_cur, wi, wq)
-            jax.block_until_ready(out)
+            _sync(out)
             ts.append(time.perf_counter() - t0)
             fleet.pfb_state, states_cur, packed, frames = out
         rows.append(("fused_total", min(ts)))

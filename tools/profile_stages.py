@@ -47,12 +47,19 @@ def main():
     sonde = sys.argv[3] if len(sys.argv) > 3 else "rs41"
     block_len = 48000 * block_secs
 
-    # representative modulated signal
-    from sondetpu.sondes.rs41 import RS41Truth
+    # representative modulated signal (the family's own truth class)
+    from sondetpu.cli.main import _truth_class
     fam = get_sonde(sonde)
     mod = fam["modulator"]()
-    iq1 = mod.modulate([RS41Truth(frame_no=i) for i in range(2 * block_secs + 1)],
-                       fs=48000.0)[:block_len]
+    cls = _truth_class(sonde)
+    truths = []
+    for i in range(2 * block_secs + 1):
+        t = cls()
+        if hasattr(t, "frame_no"):
+            t.frame_no = i
+        truths.append(t)
+    iq1 = np.asarray(mod.modulate(truths, fs=48000.0))
+    iq1 = np.tile(iq1, -(-block_len // iq1.size))[:block_len]
     rng = np.random.default_rng(0)
     noisy = iq1 + (rng.normal(size=iq1.shape) + 1j * rng.normal(size=iq1.shape)
                    ).astype(np.complex64) * 0.1
