@@ -45,22 +45,47 @@ def channel_spec(leaf: Any, axis="chip") -> P:
     return P(axis, *([None] * (ndim - 1)))
 
 
+# instrumentation: how fleet/session feeds reached the mesh (the 2-process
+# fleet test asserts the PFB output takes the device path, not a host copy)
+SHARD_STATS = {"host_uploads": 0, "device_feeds": 0}
+
+
 def shard_channels(tree: Any, mesh: Mesh, axis="chip") -> Any:
     """Place every leaf of a pytree with its channel axis sharded.
 
     Device-resident leaves (e.g. the fleet PFB output) reshard with
-    device_put; host leaves upload. In an N>=2-process run, host leaves are
-    GLOBAL-shaped and each process materializes only its addressable
-    shards via make_array_from_callback (a plain device_put cannot build a
-    non-addressable global array from one host)."""
+    device_put; host leaves upload. In an N>=2-process run:
+
+    - host (numpy) leaves are GLOBAL-shaped and each process materializes
+      only its addressable shards via make_array_from_callback (a plain
+      device_put cannot build a non-addressable global array from one
+      host);
+    - DEVICE-RESIDENT process-local leaves (the fleet's PFB output — every
+      process channelizes the same wideband stream locally) stay on
+      device: each addressable shard is sliced and placed device-to-device
+      and the global array assembled with
+      make_array_from_single_device_arrays — no host round trip (VERDICT
+      r3 item 9)."""
     multiproc = jax.process_count() > 1
 
     def put(leaf):
         sh = NamedSharding(mesh, channel_spec(leaf, axis))
         if multiproc and not isinstance(leaf, jax.Array):
+            SHARD_STATS["host_uploads"] += 1
             arr = np.asarray(leaf)
             return jax.make_array_from_callback(
                 arr.shape, sh, lambda idx, _a=arr: _a[idx])
+        if (multiproc and isinstance(leaf, jax.Array)
+                and leaf.is_fully_addressable
+                and not sh.is_fully_addressable):
+            SHARD_STATS["device_feeds"] += 1
+            shape = leaf.shape
+            pieces = []
+            for dev, idx in sh.devices_indices_map(shape).items():
+                if dev.process_index != jax.process_index():
+                    continue
+                pieces.append(jax.device_put(leaf[idx], dev))
+            return jax.make_array_from_single_device_arrays(shape, sh, pieces)
         return jax.device_put(leaf, sh)
 
     return jax.tree.map(put, tree)

@@ -213,17 +213,13 @@ class FleetSession:
         # yi/yq stay ON DEVICE: each group's rows are gathered device-side
         # and fed straight into its compiled step — the only host transfer
         # per block is each group's packed frame readback
-        import jax
-        multiproc = jax.process_count() > 1
         updates = 0
         for sonde, (idxs, sess) in self.groups.items():
+            # N>=2 processes: the PFB runs process-locally (every process
+            # ingests the same wideband stream); shard_channels assembles
+            # the cross-process global array from these local DEVICE
+            # planes with make_array_from_single_device_arrays — the
+            # channelized samples never round-trip through the host
             gi, gq = self._gathers[sonde](yi, yq)
-            if multiproc and sess.mesh is not None:
-                # N>=2 processes: the PFB runs process-locally (every
-                # process ingests the same wideband stream); a local device
-                # array cannot device_put onto a cross-process sharding, so
-                # group feeds go through the host here and shard_channels'
-                # global-array callback path places each process's shards
-                gi, gq = np.asarray(gi), np.asarray(gq)
             updates += len(sess.process_block((gi, gq)))
         return updates

@@ -52,6 +52,7 @@ met = sess.metrics_fanin()
 # bins, the rs41 group sharded over the ('host','chip') product — every
 # process PFBs the whole wideband locally but decodes only its channel
 # shard (runtime/fleet.py multiprocess feed path)
+from sondetpu.parallel import sharding as _sharding  # noqa: E402
 from sondetpu.runtime.fleet import FleetChannel, FleetSession  # noqa: E402
 from sondetpu.sondes.modulate import freq_shift, gfsk_modulate  # noqa: E402
 
@@ -59,6 +60,9 @@ n_bins = 8
 fs_wide = n_bins * 48000.0
 fleet = FleetSession([FleetChannel(pfb_bin=k, sonde="rs41")
                       for k in range(8)], n_bins=n_bins, mesh=mesh)
+# snapshot AFTER construction: init-time STATE sharding legitimately
+# uploads numpy leaves once; the per-block SAMPLE feed must not
+_stats_before_fleet = dict(_sharding.SHARD_STATS)
 bits = mod.frames_to_bits(np.stack(
     [mod.build_frame(RS41Truth(frame_no=70 + i)) for i in range(3)]))
 centers = fleet.pfb.center_freqs(fs_wide)
@@ -75,6 +79,11 @@ for i in range(0, n - w + 1, w):
 fleet_sess = fleet.groups["rs41"][1]
 fleet_fan = fleet_sess.telemetry_fanin()
 
+# the fleet's channelized planes must reach the mesh WITHOUT a host round
+# trip (device-resident feed path, VERDICT r3 item 9)
+_fleet_stats = {k: _sharding.SHARD_STATS[k] - _stats_before_fleet[k]
+                for k in _sharding.SHARD_STATS}
+
 print(json.dumps({
     "pid": pid,
     "local_telemetry": sorted(sess.telemetry),
@@ -86,4 +95,5 @@ print(json.dumps({
     "metrics": met,
     "fleet_local": sorted(fleet_sess.telemetry),
     "fleet_fan": sorted(fleet_fan),
+    "fleet_shard_stats": _fleet_stats,
 }))

@@ -64,3 +64,7 @@ def test_two_process_shard_readback_and_fanin():
     assert results[1]["fleet_local"] == [4, 5, 6, 7]
     for pid in (0, 1):
         assert results[pid]["fleet_fan"] == list(range(8))
+        # the channelized planes fed the mesh device-resident — zero
+        # full-block host copies (VERDICT r3 item 9)
+        st = results[pid]["fleet_shard_stats"]
+        assert st["device_feeds"] > 0 and st["host_uploads"] == 0, st

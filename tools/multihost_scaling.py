@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Multi-host scaling measurement (VERDICT r3 item 5; BASELINE.json:5's
+"1 chip / 1 host / N>=2 hosts" axis, the slice measurable in this
+environment).
+
+Runs the SAME total workload (channels x block seconds of the full RS41
+step) over the same 8 virtual CPU devices arranged as
+  N=1 process  : mesh ('chip',) = (8,)
+  N=2 processes: mesh ('host', 'chip') = (2, 4), real jax.distributed
+and reports per-block step wall time plus the telemetry fan-in cost — the
+measurable multi-process overheads are the cross-process collective setup,
+the per-process addressable-shard readback, and the fan-in all_gather.
+
+Usage: python tools/multihost_scaling.py [out.json]   (coordinator)
+       python tools/multihost_scaling.py --worker N_PROCS PID PORT CHANNELS
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHANNELS = 32
+BLOCK = 48000
+ITERS = 6
+
+
+def worker(n_procs: int, pid: int, port: str, channels: int) -> None:
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d"
+                               % (8 // n_procs))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if n_procs > 1:
+        jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                                   num_processes=n_procs, process_id=pid)
+    import numpy as np
+    from sondetpu.parallel import make_mesh
+    from sondetpu.runtime.pipeline import PipelineConfig
+    from sondetpu.runtime.session import DecoderSession
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+
+    if n_procs > 1:
+        mesh = make_mesh(axis_names=("host", "chip"), shape=(n_procs,
+                                                             8 // n_procs))
+    else:
+        mesh = make_mesh()
+
+    mod = RS41Modulator()
+    iq1 = mod.modulate([RS41Truth(frame_no=5 + i) for i in range(3)])[:BLOCK]
+    iq = np.tile(iq1[None, :], (channels, 1))
+
+    cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=BLOCK)
+    sess = DecoderSession(cfg, mesh=mesh)
+
+    # warm / compile
+    for _ in range(2):
+        sess.process_block(iq)
+    steps = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        sess.process_block(iq)
+        steps.append(time.perf_counter() - t0)
+    fanins = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        sess.telemetry_fanin()
+        fanins.append(time.perf_counter() - t0)
+    print(json.dumps({
+        "pid": pid,
+        "step_ms": round(min(steps) * 1e3, 2),
+        "fanin_ms": round(min(fanins) * 1e3, 2),
+        "decoded": sess.metrics.frames_decoded,
+        "local_channels": len(sess.local_channels()),
+    }))
+
+
+def run_config(n_procs: int) -> dict:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker",
+         str(n_procs), str(i), str(port), str(CHANNELS)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for i in range(n_procs)]
+    rows = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{err[-3000:]}")
+        rows.append(json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("{")][-1]))
+    return {
+        "processes": n_procs,
+        "mesh": "('host','chip')=(%d,%d)" % (n_procs, 8 // n_procs)
+                if n_procs > 1 else "('chip',)=(8,)",
+        "channels_total": CHANNELS,
+        "step_ms": max(r["step_ms"] for r in rows),
+        "fanin_ms": max(r["fanin_ms"] for r in rows),
+        "per_process": rows,
+    }
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "MULTIHOST_SCALING.json"
+    res1 = run_config(1)
+    print("N=1:", json.dumps(res1), file=sys.stderr)
+    res2 = run_config(2)
+    print("N=2:", json.dumps(res2), file=sys.stderr)
+    result = {
+        "what": "same total workload (32ch x 1s RS41 full step) on the "
+                "same 8 virtual CPU devices, 1 process vs 2 real "
+                "jax.distributed processes; multi-process overhead = "
+                "cross-process program + per-process shard readback; "
+                "fan-in = telemetry all_gather cost",
+        "hardware": "virtual CPU mesh (the environment's measurable slice "
+                    "of BASELINE.json:5's 1-host / N>=2-hosts axis)",
+        "configs": [res1, res2],
+        "multiprocess_step_overhead_pct": round(
+            100.0 * (res2["step_ms"] / res1["step_ms"] - 1.0), 1),
+        "fanin_overhead_ms": round(res2["fanin_ms"] - res1["fanin_ms"], 2),
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+               int(sys.argv[5]))
+    else:
+        main()
