@@ -159,19 +159,22 @@ class PFBChannelizer:
             #   xb[0, m'] = vv[m'+1, 0]; xb[p>=1, m'] = vv[m', N-p]
             vv = xp.reshape(-1, n)                     # [tpp + m_out, N]
             rows = m_out + tpp - 1
-            # per-branch tpp-tap FIR along the FRAME axis, as a sum of tpp
-            # shifted row-slices of vv. An N-group depthwise conv here maps
-            # terribly onto the TPU (measured 24 ms/plane at N=1024,
-            # W=49M); this form is a single fused elementwise pass over vv
-            # (~1 ms), with the branch regrouping absorbed into the SAME
-            # pass by slicing vv directly:
-            #   xb[0, m'] = vv[m'+1, 0];  xb[p>=1, m'] = vv[m', N-p]
-            #   u[p, m] = sum_j hbank[p, tpp-1-j] * xb[p, m+j]
-            b0 = sum(self._hbank[0, tpp - 1 - j]
-                     * vv[j + 1:j + 1 + m_out, 0:1] for j in range(tpp))
-            rest = sum(self._hbank[None, 1:, tpp - 1 - j]
-                       * vv[j:j + m_out, :0:-1] for j in range(tpp))
-            return jnp.concatenate([b0, rest], axis=1).T   # [N, m_out]
+            xb = jnp.concatenate([
+                vv[1:rows + 1, 0:1],                   # branch 0
+                vv[:rows, :0:-1],                      # branches 1..N-1
+            ], axis=1).T                               # [N, m_out + tpp - 1]
+            # NOTE (r4, measured): an elementwise sum-of-shifted-slices
+            # formulation of this tpp-tap FIR is NOT faster — XLA fuses the
+            # cheap producer into every einsum of the downstream DFT and
+            # recomputes it per consumer (full PFB went 29 -> 212 ms at
+            # N=1024, W=49M). The grouped conv materializes u once and the
+            # DFT reads it; keep it.
+            u = jax.lax.conv_general_dilated(
+                xb[None, :, :], self._hbank[:, None, ::-1],
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                feature_group_count=n)
+            return u[0]                                # [N, m_out]
 
         u_i = branches(state.tail_i, x_i)
         u_q = branches(state.tail_q, x_q)

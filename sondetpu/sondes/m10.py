@@ -381,12 +381,21 @@ class M10Decoder(SondeDecoderBase):
                 for c in range(b + 1, nw):
                     if wsynd[c] == t:
                         push(widx[a], widx[b], widx[c])
-        # 5. pairs with NO weak bit: complete every position against d
-        #    (~(span_bits^2)/2^16 real candidates — a handful)
-        for i in range(all_synd.size):
-            for j in syndrome_lookup(span_len, d ^ int(all_synd[i])):
-                if int(j) > i:
-                    push(i, int(j))
+        # 5. pairs with NO weak bit: complete every position against d in
+        #    one vectorized sorted-table probe (~(span_bits^2)/2^16 real
+        #    candidates — a handful; a per-position Python loop would cost
+        #    milliseconds per failing window at fleet scale)
+        allv, order, sv, tab = syndrome_positions(span_len)
+        targets = (np.uint32(d) ^ all_synd).astype(np.int64)
+        a = tab[targets]
+        b = np.where(targets + 1 < tab.size, tab[np.minimum(targets + 1,
+                                                            tab.size - 1)],
+                     sv.size)
+        b = np.where(targets + 1 == tab.size, sv.size, b)
+        for i in np.nonzero(b > a)[0]:
+            for j in order[a[i]:b[i]]:
+                if int(j) > int(i):
+                    push(int(i), int(j))
             if len(cands) > 4 * max_tries:
                 break
         # 6. triples with two weak bits + one anywhere
