@@ -202,3 +202,33 @@ def test_fanin_rows_roundtrip():
     # counters beyond float32's 2^24 exact range stay integer-exact
     tot = fanin.sum_counts([5, 7, 16_777_217, 2_500_000_001])
     np.testing.assert_array_equal(tot, [5, 7, 16_777_217, 2_500_000_001])
+
+
+def test_allgather_rows_warns_instead_of_silent_drop(caplog):
+    """ADVICE r3: rows beyond the wire cap must not vanish silently."""
+    import logging
+
+    import numpy as np
+
+    from sondetpu.parallel import fanin
+
+    rows = np.arange(5 * len(fanin.ROW_FIELDS), dtype=np.float32).reshape(5, -1)
+    with caplog.at_level(logging.WARNING):
+        out = fanin.allgather_rows(rows, cap=3)
+    assert out.shape[0] == 3
+    assert any("dropping 2 of 5" in r.message for r in caplog.records)
+
+
+def test_session_fanin_cap_defaults_to_channel_count():
+    from sondetpu.runtime.pipeline import PipelineConfig
+    from sondetpu.runtime.session import DecoderSession
+    from sondetpu.telemetry import SondeTelemetry
+
+    sess = DecoderSession(PipelineConfig(sonde="rs41", channels=300,
+                                         block_len=48000))
+    for ch in range(300):                      # more channels than the old
+        t = SondeTelemetry()                   # fixed cap of 256
+        t.lat, t.lon = 1.0 + ch, 2.0
+        sess.telemetry[ch] = t
+    fan = sess.telemetry_fanin()
+    assert len(fan) == 300                     # nothing dropped

@@ -107,3 +107,21 @@ def test_isa_pressure_tracks_altitude_on_pos_only_updates():
     f4 = TelemetryFragment(fields=Fields.POS, lat=45.0, lon=9.0, alt=9000.0)
     t.merge(f4)
     assert t.pressure == 355.0
+
+
+def test_geo_calendar_roundtrip():
+    """Civil-date helpers (ims100 date words, c50 date telegrams, imet4
+    replay): epoch <-> (y, m, d, sod) round-trips exactly, including leap
+    days and year boundaries."""
+    import time as _t
+
+    from sondetpu.sondes.geo import utc_to_ymd_sod, ymd_sod_to_utc
+
+    for t in (0.0, 951867072.0, 1.7e9, 1709164800.0,   # 2024-02-29
+              1704067199.0, 1704067200.0):             # year boundary
+        y, m, d, sod = utc_to_ymd_sod(t)
+        assert abs(ymd_sod_to_utc(y, m, d, sod) - t) < 1e-6
+        ref = _t.gmtime(t)
+        assert (y, m, d) == (ref.tm_year, ref.tm_mon, ref.tm_mday)
+        assert abs(sod - (ref.tm_hour * 3600 + ref.tm_min * 60
+                          + ref.tm_sec)) < 1.0
