@@ -187,8 +187,7 @@ def main():
     # SAME samples, so the decoded count must be uniform across channels,
     # positive, and the parsed telemetry must match the modulated truth.
     from sondetpu.runtime.session import DecoderSession
-    sess = DecoderSession(cfg)
-    sess.pipeline = pipe                  # reuse the compiled pipeline
+    sess = DecoderSession(cfg, pipeline=pipe)   # reuse the compiled pipeline
     updates, frames_raw, decoded, _ = sess._handle_output(prev)
     per_chan = decoded / channels
     ver_err = None

@@ -178,6 +178,11 @@ class PFBChannelizer:
 
         u_i = branches(state.tail_i, x_i)
         u_q = branches(state.tail_q, x_q)
+        # materialization fence: without it XLA fuses the branch FIR into
+        # every DFT einsum and recomputes it per consumer (measured 29 ->
+        # 212 ms full-PFB during the r4 slice-sum experiment; the barrier
+        # pins u to HBM once regardless of the producer formulation)
+        u_i, u_q = jax.lax.optimization_barrier((u_i, u_q))
         # DFT across branches (MXU, mixed-radix factorized); the +j
         # convention maps a tone at +k*fs_chan into output channel k
         y_i, y_q = _dft_axis0(u_i, u_q, sign=1.0)

@@ -163,6 +163,9 @@ class MultiGPXWriter:
     MIN_FLUSH = 8            # master rewrites are O(total points): every
                              # max(8, total/8) adds keeps total rewrite work
                              # O(n log n) on long runs instead of O(n^2)
+    MAX_OPEN_FDS = 128       # LRU cap on concurrently-open segment files:
+                             # fleet-scale serial counts (10k+) would blow
+                             # RLIMIT_NOFILE with one fd per serial
 
     def __init__(self, path: str = ""):
         self._path = ""
@@ -207,7 +210,7 @@ class MultiGPXWriter:
         return True
 
     def _segment(self, serial: str):
-        fd = self._segs.get(serial)
+        fd = self._segs.pop(serial, None)     # pop+reinsert: LRU order
         if fd is None:
             fp = self._fnames.get(serial)
             if fp is None:
@@ -220,7 +223,12 @@ class MultiGPXWriter:
             fd = open(fp, "ab")
             if new:
                 fd.write(f"#serial {serial}\n".encode())
-            self._segs[serial] = fd
+            if len(self._segs) >= self.MAX_OPEN_FDS:
+                # evict the least-recently-used open segment (reopens in
+                # append mode transparently on the serial's next point)
+                old_serial = next(iter(self._segs))
+                self._segs.pop(old_serial).close()
+        self._segs[serial] = fd
         return fd
 
     def add_track_point(self, serial: str, time: float, lat: float,
@@ -267,10 +275,14 @@ class MultiGPXWriter:
                 try:
                     with open(fp, "rb") as seg:
                         seg.readline()     # the #serial header
-                        for chunk in iter(lambda: seg.read(1 << 16), b""):
-                            f.write(chunk)
+                        body = seg.read()
                 except OSError:
-                    pass
+                    body = b""
+                # trim a torn trailing point (crash mid-append: ENOSPC,
+                # power loss) so the master stays well-formed XML — this is
+                # the "loses at most one partially-written point" guarantee
+                end = body.rfind(b"</trkpt>\n")
+                f.write(body[:end + 9] if end >= 0 else b"")
                 f.write(b"</trkseg>\n</trk>\n")
             f.write(b"</gpx>\n")
         os.replace(tmp, self._path)

@@ -29,9 +29,13 @@ class DecoderSession:
 
     def __init__(self, config: PipelineConfig,
                  on_update: Optional[Callable[[int, SondeTelemetry], None]] = None,
-                 pipelined: bool = False, mesh=None, host_workers: int = 0):
+                 pipelined: bool = False, mesh=None, host_workers: int = 0,
+                 pipeline: Optional[Pipeline] = None):
         self.config = config
-        self.pipeline = Pipeline(config)
+        # callers that already hold a compiled Pipeline for this config
+        # (bench.py's decode verification) reuse it instead of paying a
+        # second construction + device-state allocation
+        self.pipeline = pipeline if pipeline is not None else Pipeline(config)
         self.state = self.pipeline.init_state()
         # multi-chip: shard the channel axis of state + IQ over the mesh and
         # run the step SPMD (SURVEY.md §2.4 channel parallelism). Channels

@@ -138,6 +138,9 @@ class C50Decoder(SondeDecoderBase):
             if len(pos) == 3 and not (pos["lat"] == 0 and pos["lon"] == 0):
                 frag.lat, frag.lon, frag.alt = pos["lat"], pos["lon"], pos["alt"]
                 frag.fields |= Fields.POS
+                # one fix per complete lat/lon/alt TRIPLE: clearing prevents
+                # a later lone component from pairing with stale ones
+                self._pos[ch] = {}
         elif typ == TYPE_SERIAL:
             frag.serial = f"C50-{val:05d}"
             frag.fields |= Fields.SERIAL

@@ -159,10 +159,12 @@ class IMS100Decoder(SondeDecoderBase):
         super().__init__(*a, **kw)
         self._subtype: Dict[int, str] = {}
         self._last_fix: Dict[int, Tuple[float, float]] = {}  # ch -> (t, alt)
+        self._last_climb: Dict[int, float] = {}
 
     def reset_channel(self, channel: int) -> None:
         self._subtype.pop(channel, None)
         self._last_fix.pop(channel, None)
+        self._last_climb.pop(channel, None)
 
     def subtype(self, channel: int) -> Optional[str]:
         """Model detected on the channel ("iMS-100" / "RS-11G"), mirroring
@@ -208,16 +210,20 @@ class IMS100Decoder(SondeDecoderBase):
                 frag.fields |= Fields.TIME
             lat = nmea_to_deg((int(w[6]) << 16) | int(w[7]))
             lon = nmea_to_deg((int(w[8]) << 16) | int(w[9]))
-            alt_cm = np.int32((int(w[10]) << 16) | int(w[11]))
+            v = (int(w[10]) << 16) | int(w[11])
+            alt_cm = (v & 0x7FFFFFFF) - (v & 0x80000000)   # sign-extend i32
             if not (lat == 0 and lon == 0):
-                frag.lat, frag.lon, frag.alt = lat, lon, float(alt_cm) / 100.0
+                frag.lat, frag.lon, frag.alt = lat, lon, alt_cm / 100.0
                 frag.speed = int(w[12]) / 100.0 * KNOTS2MS
                 frag.heading = int(w[13]) / 100.0
-                # climb derived from successive fixes (not transmitted)
+                # climb derived from successive fixes (not transmitted);
+                # when this frame cannot derive it (first fix, no time),
+                # carry the last derived value rather than fabricating 0.0
                 prev = self._last_fix.get(ch)
                 t_now = frag.time if frag.fields & Fields.TIME else None
                 if prev is not None and t_now is not None and t_now > prev[0]:
-                    frag.climb = (frag.alt - prev[1]) / (t_now - prev[0])
+                    self._last_climb[ch] = (frag.alt - prev[1]) / (t_now - prev[0])
+                frag.climb = self._last_climb.get(ch, float("nan"))
                 if t_now is not None:
                     self._last_fix[ch] = (t_now, frag.alt)
                 frag.fields |= Fields.POS | Fields.SPEED

@@ -274,7 +274,7 @@ class M10Decoder(SondeDecoderBase):
             want = (int(f[0x63]) << 8) | int(f[0x64])
             if m10_checksum(f[0:0x63]) != want:
                 return None
-            return self._parse(f, is_m20=False)
+            return self._parse(f)
         if f[0] == 0x45 and f[1] == 0x20:
             want = (int(f[0x44]) << 8) | int(f[0x45])
             if m10_checksum(f[0:0x44]) == want:
@@ -445,7 +445,7 @@ class M10Decoder(SondeDecoderBase):
                 return False
         return True
 
-    def _parse(self, f: np.ndarray, is_m20: bool = False) -> TelemetryFragment:
+    def _parse(self, f: np.ndarray) -> TelemetryFragment:
         frag = TelemetryFragment()
         ve, vn, vu = struct.unpack(">hhh", f[0x04:0x0A].tobytes())
         tow_ms, = struct.unpack(">I", f[0x0A:0x0E].tobytes())
@@ -539,12 +539,17 @@ def _serial_bytes(serial: str) -> np.ndarray:
 
 
 def _m20_serial_bytes(serial: str) -> np.ndarray:
-    """Inverse of m20_serial ("XNN-NNNNN"; tolerates the 3-part M10 form
-    by dropping the middle group)."""
+    """Inverse of m20_serial ("XNN-NNNNN" with X a hex digit and NN <= 15;
+    tolerates the 3-part M10 form by dropping the middle group). Rejects
+    out-of-range groups rather than silently corrupting the round trip."""
     parts = serial.split("-")
     a, num = parts[0], int(parts[-1]) & 0xFFFF
+    grp = int(a[1:])
+    if not 0 <= grp <= 15:
+        raise ValueError(f"M20 serial group {grp} exceeds the 4-bit field "
+                         f"of the printed form ({serial!r})")
     b = np.zeros(3, np.uint8)
-    b[0] = (int(a[0], 16) << 4) | int(a[1:])
+    b[0] = (int(a[0], 16) << 4) | grp
     b[1], b[2] = (num >> 8) & 0xFF, num & 0xFF
     return b
 

@@ -97,6 +97,11 @@ def gather_frames(stream: jax.Array, starts: jax.Array, ok: jax.Array,
     k = starts.shape[1]
     fits = starts + frame_len <= n
     valid = ok & fits
+    if n < frame_len:
+        # a block shorter than one frame can never yield a valid gather;
+        # the slice form below would be a trace-time error (slice_sizes
+        # exceeding the operand), so short streams return empty directly
+        return jnp.zeros((c, k, frame_len), stream.dtype), valid & False
     safe = jnp.clip(starts, 0, max(n - frame_len, 0))
     # ONE contiguous slice per (channel, slot) via lax.gather slice_sizes —
     # element gathers (take_along_axis) cost ~4 ns/elem on v5e, which at

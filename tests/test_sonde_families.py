@@ -408,3 +408,36 @@ def test_m10_chase_rejects_noise_frames():
         sess = _run("m10", iq, snr_db=snr, seed=seed)
         assert sess.frames_seen > 0         # sync does fire...
         assert sess.metrics.frames_decoded == 0, snr   # ...decode must not
+
+
+def test_ims100_negative_altitude_decodes():
+    """A below-MSL altitude word (sign bit set) must sign-extend, not
+    crash the batch (NumPy 2 raises OverflowError on np.int32(big-int))."""
+    from sondetpu.sondes.ims100 import IMS100Modulator, IMS100Truth
+
+    mod = IMS100Modulator()
+    truths = [IMS100Truth(frame_no=2 + i, alt=-50.0) for i in range(6)]
+    iq = mod.modulate(truths)
+    sess = _run("ims100", iq)
+    t = sess.telemetry[0]
+    assert t.alt == pytest.approx(-50.0, abs=0.01)
+
+
+def test_c50_position_components_never_mix_bursts():
+    """A lone lat telegram after a complete fix must NOT emit a POS
+    fragment pairing the new latitude with the previous burst's lon/alt."""
+    from sondetpu.sondes.c50 import (C50Decoder, TYPE_ALT, TYPE_LAT,
+                                     TYPE_LON, C50Modulator)
+
+    dec = C50Decoder()
+    mod = C50Modulator()
+    tel = [mod.build_telegram(TYPE_LAT, 47_000000),
+           mod.build_telegram(TYPE_LON, 8_000000),
+           mod.build_telegram(TYPE_ALT, 100000),
+           mod.build_telegram(TYPE_LAT, 48_000000)]   # next burst, lat only
+    frames = np.stack(tel)
+    frags = dec.decode_byte_frames(frames, np.zeros(4, int))
+    from sondetpu.telemetry import Fields
+    pos = [f for _, f in frags if f.fields & Fields.POS]
+    assert len(pos) == 1                    # one complete triple -> one fix
+    assert pos[0].lat == pytest.approx(47.0)

@@ -170,3 +170,18 @@ def test_descramble_roundtrip():
     back = np.asarray(descramble_xor(jnp.asarray(scrambled), mask))
     np.testing.assert_array_equal(back, data)
     assert not np.array_equal(scrambled, data)
+
+
+def test_gather_frames_block_shorter_than_frame():
+    """A stream shorter than one frame returns empty/invalid instead of a
+    trace-time lax.gather error (slice_sizes > operand dim)."""
+    import jax.numpy as jnp
+
+    from sondetpu.sync.correlator import gather_frames
+
+    stream = jnp.zeros((2, 10), jnp.float32)
+    starts = jnp.zeros((2, 3), jnp.int32)
+    ok = jnp.ones((2, 3), bool)
+    frames, valid = gather_frames(stream, starts, ok, 64)
+    assert frames.shape == (2, 3, 64)
+    assert not bool(valid.any())
