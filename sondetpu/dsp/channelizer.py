@@ -92,6 +92,48 @@ def _dft_axis0(ui: jax.Array, uq: jax.Array, sign: float = 1.0):
     return yi.reshape((n,) + tail), yq.reshape((n,) + tail)
 
 
+def _dft_axis_last(ui: jax.Array, uq: jax.Array, sign: float = 1.0):
+    """Complex DFT over the LAST axis on (I, Q) planes:
+    y[..., k] = sum_p u[..., p] e^{sign*2pi*i*pk/n}.
+
+    The time-major twin of :func:`_dft_axis0` (same mixed-radix Cooley-
+    Tukey factorization, factors <= 64 so every stage is an MXU matmul) for
+    [time, branch] activations — the layout the PFB's Pallas FIR produces.
+    Contracting the last axis keeps the big time dimension as matmul rows.
+    """
+    n = ui.shape[-1]
+    f = _largest_factor(n)
+    if n <= 64 or f is None:
+        k = np.arange(n)
+        ang = sign * 2.0 * np.pi * np.outer(k, k) / n
+        c = jnp.asarray(np.cos(ang), jnp.float32)
+        s = jnp.asarray(np.sin(ang), jnp.float32)
+        return ui @ c - uq @ s, uq @ c + ui @ s
+    n1 = f
+    n2 = n // n1
+    lead = ui.shape[:-1]
+    # u[..., p1 + n1*p2] -> [..., p1, p2]; inner DFT_{n2} over p2
+    u_ri = ui.reshape(lead + (n2, n1)).swapaxes(-1, -2)
+    u_rq = uq.reshape(lead + (n2, n1)).swapaxes(-1, -2)
+    ai, aq = _dft_axis_last(u_ri, u_rq, sign)          # [..., p1, k2]
+    k2 = np.arange(n2)
+    p1 = np.arange(n1)
+    ang = sign * 2.0 * np.pi * np.outer(p1, k2) / n
+    tc = jnp.asarray(np.cos(ang), jnp.float32)
+    ts_ = jnp.asarray(np.sin(ang), jnp.float32)
+    ti = ai * tc - aq * ts_
+    tq = aq * tc + ai * ts_
+    # outer DFT_{n1} over p1 (axis -2): y[..., k1, k2]
+    ang1 = sign * 2.0 * np.pi * np.outer(p1, p1) / n1
+    c1 = jnp.asarray(np.cos(ang1), jnp.float32)
+    s1 = jnp.asarray(np.sin(ang1), jnp.float32)
+    yi = (jnp.einsum("...pk,pd->...dk", ti, c1)
+          - jnp.einsum("...pk,pd->...dk", tq, s1))
+    yq = (jnp.einsum("...pk,pd->...dk", tq, c1)
+          + jnp.einsum("...pk,pd->...dk", ti, s1))
+    return yi.reshape(lead + (n,)), yq.reshape(lead + (n,))
+
+
 def bin_and_offset(center_hz: float, fs_chan: float, n_bins: int):
     """Map an arbitrary carrier frequency to (pfb_bin, fine_offset_hz).
 
@@ -115,6 +157,11 @@ class PFBChannelizer:
         # prototype lowpass at the channel Nyquist, unity passband
         proto = design_lowpass(cutoff_frac, float(self.n), L + 1)[:L] * self.n
         self._hbank = proto.reshape(self.tpp, self.n).T.astype(np.float32)  # [N, tpp]
+        # column taps for the time-major FIR: column j of the reshaped
+        # block holds branch p = (N - j) % N (see _impl)
+        perm = np.zeros(self.n, np.int64)
+        perm[1:] = self.n - np.arange(1, self.n)
+        self._hcol = np.ascontiguousarray(self._hbank[perm].T)  # [tpp, N]
 
     @property
     def history(self) -> int:
@@ -141,63 +188,81 @@ class PFBChannelizer:
         device-resident. The compiled program is cached MODULE-wide keyed
         on (n, tpp) + shapes, so code that constructs fresh channelizers
         per use (scan probes, AutoFleet rebuilds) does not re-trace."""
-        return _pfb_jit(self.n, self.tpp, jnp.asarray(self._hbank),
+        from sondetpu.pallas.pfb import tile_shape
+        m_out = x_i.shape[-1] // self.n
+        ts = tile_shape(m_out, self.n)
+        # the Pallas FIR needs a real TPU (CPU/test runs take the XLA
+        # slice-sum twin — same accumulation order, atol-equal numerics)
+        tile = ts if (ts is not None
+                      and jax.default_backend() != "cpu") else None
+        return _pfb_jit(self.n, self.tpp, tile, jnp.asarray(self._hcol),
                         state, x_i, x_q)
 
-    def _impl(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
+    def _impl(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array,
+              tile=None):
+        """Time-major polyphase step (r4 formulation, measured ~2.6x the
+        grouped-conv branch FIR it replaced at N=1024, W=98M).
+
+        The block reshapes to vv[r, j] = xp[r*N + j] (free); column j of vv
+        holds the window samples of branch p = (N - j) % N, branch 0 one
+        row later — so the branch FIR runs WITHOUT any transpose, flip or
+        gather, as tpp shifted-row multiply-adds (Pallas kernel on TPU,
+        sondetpu/pallas/pfb.py; XLA slice-sum twin elsewhere). The column
+        permutation is index reversal mod N, which the DFT absorbs for
+        free by flipping its sign:
+            sum_j u_t[j] e^{-2pi i jk/N} = sum_p u[p] e^{+2pi i pk/N}
+        so channel k keeps the +j convention (a tone at +k*fs_chan lands
+        in output channel k) with zero repermutation cost.
+        """
         n, tpp = self.n, self.tpp
         L = self.history
         w = x_i.shape[-1]
         m_out = w // n
 
-        def branches(tail, x):
-            xp = jnp.concatenate([tail, x])            # [L + W]
-            # branch p, frame m taps xp at index N*(tpp+m) - p. Regrouping
-            # by reshape + flip instead of a W-element gather (gathers cost
-            # ~4 ns/elem on TPU; this is pure data movement):
-            #   vv = xp.reshape(rows, N); with m' = m + tpp - 1,
-            #   xb[0, m'] = vv[m'+1, 0]; xb[p>=1, m'] = vv[m', N-p]
-            vv = xp.reshape(-1, n)                     # [tpp + m_out, N]
+        xp_i = jnp.concatenate([state.tail_i, x_i])     # [L + W]
+        xp_q = jnp.concatenate([state.tail_q, x_q])
+        vv_i = xp_i.reshape(-1, n)                      # [tpp + m_out, N]
+        vv_q = xp_q.reshape(-1, n)
+
+        if tile is not None:
+            from sondetpu.pallas.pfb import pfb_fir_timemajor
+            u_i, u_q = pfb_fir_timemajor(vv_i, vv_q, self._hcol,
+                                         tpp, tile[0], tile[1])
+        else:
+            # XLA twin: col-0 row shift + sum of tpp shifted row slices
             rows = m_out + tpp - 1
-            xb = jnp.concatenate([
-                vv[1:rows + 1, 0:1],                   # branch 0
-                vv[:rows, :0:-1],                      # branches 1..N-1
-            ], axis=1).T                               # [N, m_out + tpp - 1]
-            # NOTE (r4, measured): an elementwise sum-of-shifted-slices
-            # formulation of this tpp-tap FIR is NOT faster — XLA fuses the
-            # cheap producer into every einsum of the downstream DFT and
-            # recomputes it per consumer (full PFB went 29 -> 212 ms at
-            # N=1024, W=49M). The grouped conv materializes u once and the
-            # DFT reads it; keep it.
-            u = jax.lax.conv_general_dilated(
-                xb[None, :, :], self._hbank[:, None, ::-1],
-                window_strides=(1,), padding="VALID",
-                dimension_numbers=("NCH", "OIH", "NCH"),
-                feature_group_count=n)
-            return u[0]                                # [N, m_out]
+            hcol = jnp.asarray(self._hcol)
 
-        u_i = branches(state.tail_i, x_i)
-        u_q = branches(state.tail_q, x_q)
-        # materialization fence: without it XLA fuses the branch FIR into
-        # every DFT einsum and recomputes it per consumer (measured 29 ->
-        # 212 ms full-PFB during the r4 slice-sum experiment; the barrier
-        # pins u to HBM once regardless of the producer formulation)
-        u_i, u_q = jax.lax.optimization_barrier((u_i, u_q))
-        # DFT across branches (MXU, mixed-radix factorized); the +j
-        # convention maps a tone at +k*fs_chan into output channel k
-        y_i, y_q = _dft_axis0(u_i, u_q, sign=1.0)
-        new_state = ChannelizerState(
-            tail_i=jnp.concatenate([state.tail_i, x_i])[-L:],
-            tail_q=jnp.concatenate([state.tail_q, x_q])[-L:])
-        return new_state, y_i, y_q
+            def fir_tm(vv):
+                vvs = jnp.concatenate([vv[1:rows + 1, :1],
+                                       vv[:rows, 1:]], axis=1)
+                acc = None
+                for t in range(tpp):
+                    o = tpp - 1 - t
+                    s = vvs[o:o + m_out, :] * hcol[t][None, :]
+                    acc = s if acc is None else acc + s
+                return acc
+
+            u_i = fir_tm(vv_i)
+            u_q = fir_tm(vv_q)
+            # materialization fence: without it XLA fuses the FIR into
+            # every DFT einsum and recomputes it per consumer (measured
+            # 29 -> 212 ms full-PFB at N=1024, W=49M in the r4 experiments)
+            u_i, u_q = jax.lax.optimization_barrier((u_i, u_q))
+
+        # DFT across branches (MXU, mixed-radix factorized over the LAST
+        # axis); sign=-1 + the column permutation == the +j convention
+        y_i, y_q = _dft_axis_last(u_i, u_q, sign=-1.0)
+        new_state = ChannelizerState(tail_i=xp_i[-L:], tail_q=xp_q[-L:])
+        return new_state, y_i.T, y_q.T
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _pfb_jit(n: int, tpp: int, hbank: jax.Array, state: ChannelizerState,
-             x_i: jax.Array, x_q: jax.Array):
-    """Module-level compiled PFB step: one cache entry per (n, tpp, shapes)
-    shared by every PFBChannelizer instance."""
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _pfb_jit(n: int, tpp: int, tile, hcol: jax.Array,
+             state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
+    """Module-level compiled PFB step: one cache entry per
+    (n, tpp, tile, shapes) shared by every PFBChannelizer instance."""
     shell = PFBChannelizer.__new__(PFBChannelizer)
     shell.n, shell.tpp = n, tpp
-    shell._hbank = hbank
-    return shell._impl(state, x_i, x_q)
+    shell._hcol = hcol
+    return shell._impl(state, x_i, x_q, tile=tile)

@@ -1,0 +1,68 @@
+"""The time-major Pallas PFB FIR (sondetpu/pallas/pfb.py) against its XLA
+slice-sum twin (the CPU/fallback path of dsp/channelizer.py), plus the
+axis-last DFT identity that lets the column permutation ride for free."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sondetpu.dsp.channelizer import (PFBChannelizer, _dft_axis0,
+                                      _dft_axis_last)
+from sondetpu.pallas.pfb import pfb_fir_timemajor, tile_shape
+
+
+def _twin(vv, hcol, tpp, m_out):
+    rows = m_out + tpp - 1
+    vvs = np.concatenate([vv[1:rows + 1, :1], vv[:rows, 1:]], axis=1)
+    acc = 0.0
+    for t in range(tpp):
+        o = tpp - 1 - t
+        acc = acc + vvs[o:o + m_out, :] * hcol[t][None, :]
+    return acc
+
+
+@pytest.mark.parametrize("n,m_out", [(128, 256), (256, 192)])
+def test_kernel_matches_twin_interpret(n, m_out):
+    pfb = PFBChannelizer(n)
+    tpp = pfb.tpp
+    rng = np.random.default_rng(3)
+    vv_i = rng.normal(size=(tpp + m_out, n)).astype(np.float32)
+    vv_q = rng.normal(size=(tpp + m_out, n)).astype(np.float32)
+    ts = tile_shape(m_out, n)
+    assert ts is not None
+    ui, uq = pfb_fir_timemajor(jnp.asarray(vv_i), jnp.asarray(vv_q),
+                               jnp.asarray(pfb._hcol), tpp, ts[0], ts[1],
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(ui),
+                               _twin(vv_i, pfb._hcol, tpp, m_out), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(uq),
+                               _twin(vv_q, pfb._hcol, tpp, m_out), atol=1e-5)
+
+
+def test_tile_shape_gating():
+    assert tile_shape(96000, 1024) is not None
+    assert tile_shape(96000, 2048) is not None
+    assert tile_shape(48000, 8) is None       # lanes don't tile
+    assert tile_shape(97, 1024) is None       # rows don't tile
+    tm, tn = tile_shape(96000, 1024)
+    assert 96000 % tm == 0 and 1024 % tn == 0 and tm % 8 == 0
+
+
+def test_axis_last_dft_matches_axis0_with_sign_flip():
+    """Feeding the branch-reversed (mod n) array to the axis-last DFT with
+    the OPPOSITE sign must reproduce _dft_axis0's +j convention — the
+    identity the channelizer's zero-cost permutation rests on."""
+    rng = np.random.default_rng(7)
+    for n in (16, 64, 256):
+        u = rng.normal(size=(n, 40)).astype(np.float32)
+        v = rng.normal(size=(n, 40)).astype(np.float32)
+        ref_i, ref_q = _dft_axis0(jnp.asarray(u), jnp.asarray(v), sign=1.0)
+        perm = np.zeros(n, np.int64)
+        perm[1:] = n - np.arange(1, n)
+        got_i, got_q = _dft_axis_last(jnp.asarray(u[perm].T),
+                                      jnp.asarray(v[perm].T), sign=-1.0)
+        np.testing.assert_allclose(np.asarray(got_i.T), np.asarray(ref_i),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_q.T), np.asarray(ref_q),
+                                   atol=2e-3)

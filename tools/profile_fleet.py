@@ -80,28 +80,19 @@ def main():
     dt = timeit(lambda: fleet.pfb(pfb_state, wi, wq), iters=iters)
     rows.append(("pfb", dt))
 
-    # polyphase FIR alone (DFT skipped): measures conv vs DFT split
+    # polyphase FIR alone (DFT skipped): measures FIR vs DFT split
+    # (time-major Pallas kernel — the r4 production formulation)
     pfb = fleet.pfb
 
     def fir_only(state, x_i, x_q):
+        from sondetpu.pallas.pfb import pfb_fir_timemajor, tile_shape
         n, tpp = pfb.n, pfb.tpp
-        hb = jnp.asarray(pfb._hbank)
         m_out = x_i.shape[-1] // n
-
-        def branches(tail, x):
-            xp = jnp.concatenate([tail, x])
-            vv = xp.reshape(-1, n)
-            rows_ = m_out + tpp - 1
-            xb = jnp.concatenate([vv[1:rows_ + 1, 0:1], vv[:rows_, :0:-1]],
-                                 axis=1).T
-            u = jax.lax.conv_general_dilated(
-                xb[None, :, :], hb[:, None, ::-1], window_strides=(1,),
-                padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-                feature_group_count=n)
-            return u[0]
-
-        return branches(jnp.asarray(state.tail_i), x_i), \
-            branches(jnp.asarray(state.tail_q), x_q)
+        ts = tile_shape(m_out, n)
+        vv_i = jnp.concatenate([jnp.asarray(state.tail_i), x_i]).reshape(-1, n)
+        vv_q = jnp.concatenate([jnp.asarray(state.tail_q), x_q]).reshape(-1, n)
+        return pfb_fir_timemajor(vv_i, vv_q, jnp.asarray(pfb._hcol),
+                                 tpp, ts[0], ts[1])
 
     fir_jit = jax.jit(fir_only)
     dt = timeit(lambda: fir_jit(pfb_state, wi, wq), iters=iters)
