@@ -49,6 +49,35 @@ def test_tile_shape_gating():
     assert 96000 % tm == 0 and 1024 % tn == 0 and tm % 8 == 0
 
 
+def test_kernel_plus_dft_composition_matches_production_path():
+    """The full TPU-path composition — Pallas FIR (interpret) feeding the
+    sign=-1 axis-last DFT — must equal what PFBChannelizer.__call__ computes
+    through the XLA twin on the same block (the two paths a chunk boundary
+    could mix in a heterogeneous deployment)."""
+    n, m_out = 128, 256
+    pfb = PFBChannelizer(n)
+    tpp = pfb.tpp
+    rng = np.random.default_rng(11)
+    w = n * m_out
+    x_i = rng.normal(size=w).astype(np.float32)
+    x_q = rng.normal(size=w).astype(np.float32)
+    st = pfb.init_state()
+
+    _, yi_ref, yq_ref = pfb(st, x_i, x_q)      # CPU => XLA twin path
+
+    xp_i = np.concatenate([st.tail_i, x_i]).reshape(-1, n)
+    xp_q = np.concatenate([st.tail_q, x_q]).reshape(-1, n)
+    tm, tn = tile_shape(m_out, n)
+    u_i, u_q = pfb_fir_timemajor(jnp.asarray(xp_i), jnp.asarray(xp_q),
+                                 jnp.asarray(pfb._hcol), tpp, tm, tn,
+                                 interpret=True)
+    yi, yq = _dft_axis_last(u_i, u_q, sign=-1.0)
+    np.testing.assert_allclose(np.asarray(yi.T), np.asarray(yi_ref),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(yq.T), np.asarray(yq_ref),
+                               atol=2e-3)
+
+
 def test_axis_last_dft_matches_axis0_with_sign_flip():
     """Feeding the branch-reversed (mod n) array to the axis-last DFT with
     the OPPOSITE sign must reproduce _dft_axis0's +j convention — the
