@@ -310,6 +310,23 @@ class Pipeline:
         self._fs = c.fs
         self._dev = spec.dev
         self._afsk = spec.modulation == "afsk"
+        # optimal noncoherent FSK front end for high-deviation GFSK
+        # families (spec extra['fsk_dualtone']): the quadrature FM
+        # discriminator hits its click threshold when the in-filter CNR
+        # drops below ~10 dB — for m10 (dev 12 kHz, ~43 kHz occupied, a
+        # 21.6 kHz chanfilt is the narrowest legal) that is SNR ~8 dB, so
+        # at 4 dB the chip stream is click noise (measured r4: 3% BER ==
+        # 14-33 bit errors/frame, far beyond any Chase repair). Mixing by
+        # +/-dev and comparing matched-lowpass envelopes is the classical
+        # noncoherent-orthogonal-FSK receiver and has NO threshold.
+        # Requires dev * n_proc / fs_proc to be an integer so the mixer is
+        # phase-continuous across blocks without extra carried state.
+        n_proc = c.block_len // c.decim
+        self._dualtone = (spec.modulation == "gfsk"
+                          and bool(spec.extra.get("fsk_dualtone"))
+                          and abs(spec.dev * n_proc / c.fs_proc
+                                  - round(spec.dev * n_proc / c.fs_proc))
+                          < 1e-6)
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
         # fused Pallas front end (chanfilt+decimate+demod+matched FIR in one
@@ -320,6 +337,7 @@ class Pipeline:
         self._fe_chunk = frontend_chunk(c.block_len)
         self._fe_halo = HALO
         self._pallas = (bool(c.use_pallas) and not self._afsk
+                        and not self._dualtone
                         and c.channels % 8 == 0
                         and self._fe_chunk is not None
                         and c.decim * c.ntaps + c.ntaps - 1 <= HALO
@@ -362,7 +380,11 @@ class Pipeline:
             chan_tail_i=np.zeros((c.channels, tail_w), sdt),
             chan_tail_q=np.zeros((c.channels, tail_w), sdt),
             fm_prev=np.zeros((c.channels, 2), sdt),
-            fir=FIRState(tail=np.zeros((c.channels, c.ntaps - 1), sdt)),
+            # dualtone carries the 4 mixed planes' (+/- tone I/Q) filter
+            # history; the discriminator path carries the audio tail
+            fir=FIRState(tail=np.zeros(
+                (c.channels * (4 if self._dualtone else 1), c.ntaps - 1),
+                sdt)),
             timing=TimingState(pos=np.zeros((c.channels,), np.float32),
                                locked=np.zeros((c.channels,), np.float32)),
             chipbuf=np.zeros((c.channels, c.buf_len), sdt),
@@ -544,19 +566,71 @@ class Pipeline:
                 return jnp.sum(iq_i) + jnp.sum(iq_q)
 
             fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
-            # L2: FM quadrature discriminator on I/Q planes (ref main.cpp:57):
-            # d = x[n]*conj(x[n-1]); audio = atan2(im(d), re(d)) * fs/(2*pi*dev)
-            # (math in f32 — the casts fuse into the reads, so HBM traffic
-            # stays at the storage dtype)
-            pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]],
-                                  axis=-1).astype(jnp.float32)
-            pq_ = jnp.concatenate([state.fm_prev[:, 1:2], iq_q[:, :-1]],
-                                  axis=-1).astype(jnp.float32)
-            ii32 = iq_i.astype(jnp.float32)
-            qq32 = iq_q.astype(jnp.float32)
-            dre = ii32 * pi_ + qq32 * pq_
-            dim = qq32 * pi_ - ii32 * pq_
-            audio = jnp.arctan2(dim, dre) * scale
+            fir_state = None
+            if self._dualtone:
+                # optimal noncoherent FSK: mix the channel by -/+dev (the
+                # two FSK tones land at DC of the p/m plane pairs), matched-
+                # lowpass all four planes in ONE batched conv (overlap-save
+                # carry in fir.tail, [4C, ntaps-1]), and take the normalized
+                # envelope difference as the soft chip metric in [-1, 1] —
+                # same scale as the discriminator's audio/dev, so dc-block,
+                # AFC, slicing, weak-bit ranking and soft_rms are unchanged.
+                # No FM click threshold: this is what moves the m10 4 dB
+                # FER off the cliff (see __init__ note). The mixer needs no
+                # carried phase: dev*n/fs_proc is integer (gated in
+                # __init__), so e^{-j*ang} repeats exactly every block.
+                cc = iq_i.shape[0]
+                # HOST-side f64 mixer table (block-constant): on-device f32
+                # cos/sin at arguments up to 2*pi*dev*n/fs ~ 1e5 rad lose
+                # all precision to range reduction on the TPU (C=1 m10
+                # decoded ZERO frames on hardware while CPU was clean —
+                # caught by the hardware verify); wrapping the phase to
+                # [0, 1) cycles in f64 before the trig keeps it exact.
+                frac = np.mod(np.arange(n, dtype=np.float64)
+                              * (float(self._dev) / float(c.fs_proc)), 1.0)
+                cv = jnp.asarray(np.cos(2.0 * np.pi * frac),
+                                 jnp.float32)[None, :]
+                sv = jnp.asarray(np.sin(2.0 * np.pi * frac),
+                                 jnp.float32)[None, :]
+                ii32 = iq_i.astype(jnp.float32)
+                qq32 = iq_q.astype(jnp.float32)
+                planes = jnp.concatenate([
+                    ii32 * cv + qq32 * sv,      # +tone I  (x * e^{-j ang})
+                    qq32 * cv - ii32 * sv,      # +tone Q
+                    ii32 * cv - qq32 * sv,      # -tone I  (x * e^{+j ang})
+                    qq32 * cv + ii32 * sv,      # -tone Q
+                ], axis=0)
+                xp4 = jnp.concatenate([state.fir.tail,
+                                       planes.astype(cdt)], axis=-1)
+                ntaps = self._taps.shape[0]
+                # the TRUE matched filter for (near-)rectangular chips is a
+                # one-chip integrator (boxcar of sps taps), not the 0.55*baud
+                # lowpass: a longer filter correlates noise across chips and
+                # smears ISI (measured: see FER artifact). Padded to ntaps
+                # so the overlap-save tail width matches the state layout.
+                box = np.zeros(ntaps, np.float32)
+                nb = max(2, int(round(sps)))
+                box[-nb:] = 1.0 / nb
+                lp = _apply_windows(xp4, jnp.asarray(box))
+                fir_state = FIRState(tail=xp4[:, -(ntaps - 1):])
+                pp = lp[:cc] ** 2 + lp[cc:2 * cc] ** 2
+                pm = lp[2 * cc:3 * cc] ** 2 + lp[3 * cc:] ** 2
+                audio = (pp - pm) / (pp + pm + np.float32(1e-12))
+            else:
+                # L2: FM quadrature discriminator on I/Q planes (ref
+                # main.cpp:57): d = x[n]*conj(x[n-1]);
+                # audio = atan2(im(d), re(d)) * fs/(2*pi*dev)
+                # (math in f32 — the casts fuse into the reads, so HBM
+                # traffic stays at the storage dtype)
+                pi_ = jnp.concatenate([state.fm_prev[:, 0:1], iq_i[:, :-1]],
+                                      axis=-1).astype(jnp.float32)
+                pq_ = jnp.concatenate([state.fm_prev[:, 1:2], iq_q[:, :-1]],
+                                      axis=-1).astype(jnp.float32)
+                ii32 = iq_i.astype(jnp.float32)
+                qq32 = iq_q.astype(jnp.float32)
+                dre = ii32 * pi_ + qq32 * pq_
+                dim = qq32 * pi_ - ii32 * pq_
+                audio = jnp.arctan2(dim, dre) * scale
             if c.spec.extra.get("dc_mode") == "midpoint":
                 # robust two-level slicer reference: unwhitened-NRZ frames
                 # (ims100/mrzn1) carry a strong DATA dc (zero-byte runs), so
@@ -591,6 +665,12 @@ class Pipeline:
             if self._afsk:
                 # AFSK front end: dual-tone quadrature discriminator (S5/S6)
                 filt, fir_state, aux_state = self._afsk_frontend(state, audio)
+            elif self._dualtone:
+                # the envelope metric is already matched-filtered (the
+                # lowpass above IS the chip filter); an extra FIR here
+                # would smear adjacent chips
+                filt = audio
+                aux_state = ()
             else:
                 # matched/channel filter with overlap-save carry (SURVEY.md S0)
                 xp = jnp.concatenate([state.fir.tail, audio.astype(cdt)],

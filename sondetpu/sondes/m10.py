@@ -84,6 +84,10 @@ SPEC = ProtocolSpec(
     line_code="biphase_m",
     deviation=12000.0,
     extra={"abs_corr": True,     # biphase-M polarity ambiguity
+           # dev 12 kHz >> baud: the FM discriminator clicks below ~8 dB
+           # SNR; the dual-tone noncoherent front end has no threshold
+           # (runtime/pipeline.py _dualtone)
+           "fsk_dualtone": True,
            # M20 subtype shares the channel but has its own length/type
            "alt_syncword": bytes([0xAA, 0xAA, 0x45, 0x20]),
            # soft-decision assist: device ranks the 8 weakest decoded
@@ -248,8 +252,13 @@ class M10Decoder(SondeDecoderBase):
     # checksum failures get a Chase-2 style flip search over them
     wants_weak_bits = True
 
+    def __init__(self) -> None:
+        # last checksum-clean fix per channel: the temporal-consistency
+        # gate for chase repairs (see _consistent)
+        self._last: dict = {}
+
     def reset_channel(self, channel: int) -> None:
-        pass                                  # stateless per frame
+        self._last.pop(channel, None)
 
     def decode_byte_frames(self, frames: np.ndarray, channels,
                            weak_bits: Optional[np.ndarray] = None
@@ -260,8 +269,13 @@ class M10Decoder(SondeDecoderBase):
             w = frames[fi]
             ch = int(np.asarray(channels)[fi])
             frag = self._try_window(w)
-            if frag is None and weak_bits is not None:
-                frag = self._chase(w, weak_bits[fi])
+            if frag is not None:
+                # a clean full-checksum pass anchors the channel's
+                # consistency reference for future chase repairs
+                if frag.fields & Fields.POS:
+                    self._last[ch] = frag
+            elif weak_bits is not None:
+                frag = self._chase(w, weak_bits[fi], ch)
             if frag is not None and frag.fields:
                 out.append((ch, frag))
         return out
@@ -295,7 +309,8 @@ class M10Decoder(SondeDecoderBase):
         "m20_inner": (0x02, 0x14, 0x16),
     }
 
-    def _chase(self, w: np.ndarray, weak) -> Optional[TelemetryFragment]:
+    def _chase(self, w: np.ndarray, weak, ch: int
+               ) -> Optional[TelemetryFragment]:
         """Soft-decision checksum repair by SYNDROME DECODING (PROTOCOLS.md
         m10 — the checksum-only protocol has no FEC; reliability-ordered
         re-slicing is the only way to buy back SNR).
@@ -320,13 +335,14 @@ class M10Decoder(SondeDecoderBase):
         d20 = bin(int(f[0]) ^ 0x45).count("1") + bin(int(f[1]) ^ 0x20).count("1")
         layouts = ["m10"] if d10 <= d20 else ["m20", "m20_inner"]
         for lay in layouts:
-            frag = self._chase_layout(w, weak, lay)
+            frag = self._chase_layout(w, weak, lay, ch=ch)
             if frag is not None:
                 return frag
         return None
 
     def _chase_layout(self, w: np.ndarray, weak, lay: str,
-                      max_tries: int = 160) -> Optional[TelemetryFragment]:
+                      max_tries: int = 160, ch: int = -1
+                      ) -> Optional[TelemetryFragment]:
         span0, span_len, chk = self._CHASE_LAYOUTS[lay]
         f = w[2:]
         if chk + 2 > f.size:
@@ -415,15 +431,51 @@ class M10Decoder(SondeDecoderBase):
                         if wsynd[e] == t3:
                             push(widx[a], widx[b], widx[c], widx[e])
 
+        # anchorless channels accept only RELIABILITY-SUPPORTED repairs:
+        # without a prior fix the temporal gate can't fire, and an
+        # anywhere-position flip that happens to match the syndrome
+        # fabricates a checksum-valid frame ~1.3% of failing windows
+        # (824 single positions / 2^16). Flips entirely inside the
+        # device-ranked weak set carry soft-decision evidence; the full
+        # anywhere search unlocks once a checksum-clean fix anchors the
+        # channel.
+        anchored = self._last.get(ch) is not None
+        wset = set(widx)
         for cand in cands[:max_tries]:
+            if not anchored and not all(i in wset for i in cand):
+                continue
             w2 = w.copy()
             for i in cand:
                 b = int(all_wbit[i])
                 w2[b >> 3] ^= 0x80 >> (b & 7)
             frag = self._try_window(w2)
-            if frag is not None and self._plausible(frag):
+            if (frag is not None and self._plausible(frag)
+                    and self._consistent(ch, frag)):
+                self._last.setdefault(ch, frag)
                 return frag
         return None
+
+    def _consistent(self, ch: int, frag: TelemetryFragment) -> bool:
+        """Temporal-consistency gate for chase repairs: a syndrome-matched
+        flip set satisfies the 16-bit checksum BY CONSTRUCTION, so when the
+        true error count exceeds the flip size the repaired frame passes
+        the checksum with corrupted fields remaining (measured at 2 dB:
+        correct serial/lat but lon off by 130 deg). Against the channel's
+        last checksum-clean fix a sonde moves < ~0.1 deg and < ~2 km
+        between frames; anything further is a mis-repair. Channels with no
+        prior fix fall back to the static range gate only."""
+        prev = self._last.get(ch)
+        if prev is None:
+            return True
+        if (frag.fields & Fields.POS) and (prev.fields & Fields.POS):
+            if (abs(frag.lat - prev.lat) > 0.1
+                    or abs(frag.lon - prev.lon) > 0.2
+                    or abs(frag.alt - prev.alt) > 2000.0):
+                return False
+        if (frag.fields & Fields.TIME) and (prev.fields & Fields.TIME):
+            if abs(frag.time - prev.time) > 600.0:
+                return False
+        return True
 
     @staticmethod
     def _plausible(frag: TelemetryFragment) -> bool:

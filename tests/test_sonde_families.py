@@ -236,22 +236,23 @@ def test_m20_end_to_end():
 
 def test_m10_chase_repair_buys_snr():
     """The device weakest-bit ranks + host Chase checksum repair must keep
-    buying SNR: at 7 dB the hard-decision path loses most frames to 1-2
-    bit errors, the chase path repairs them (measured 11 vs 5 of 12 at 7 dB) (PROTOCOLS.md m10)."""
+    buying SNR. Since the dual-tone front end (r4) the hard path is clean
+    down to ~5 dB, so the comparison runs at 4 dB where frames carry the
+    1-5 bit errors the syndrome chase repairs (PROTOCOLS.md m10)."""
     from sondetpu.sondes.m10 import M10Modulator, M10Truth, SPEC
 
     mod = M10Modulator()
     iq = mod.modulate([M10Truth(frame_no=60 + i) for i in range(12)])
 
-    with_chase = _run("m10", iq, snr_db=7.0, seed=5)
+    with_chase = _run("m10", iq, snr_db=4.0, seed=5)
     m = SPEC.extra.pop("chase_m")
     try:
-        without = _run("m10", iq, snr_db=7.0, seed=5)
+        without = _run("m10", iq, snr_db=4.0, seed=5)
     finally:
         SPEC.extra["chase_m"] = m
     dec_with = with_chase.metrics.frames_decoded
     dec_without = without.metrics.frames_decoded
-    assert dec_with >= 9, (dec_with, dec_without)
+    assert dec_with >= 8, (dec_with, dec_without)
     assert dec_with >= dec_without + 3, (dec_with, dec_without)
 
 
@@ -301,15 +302,16 @@ def test_m20_chase_repair_uses_subframe_span():
     mod = M10Modulator()
     iq = mod.modulate([M10Truth(frame_no=60 + i, m20=True) for i in range(12)])
 
-    with_chase = _run("m10", iq, snr_db=7.0, seed=5)
+    # 4 dB since the r4 dual-tone front end: 7 dB is now clean without chase
+    with_chase = _run("m10", iq, snr_db=4.0, seed=5)
     saved = {k: SPEC.extra.pop(k) for k in ("chase_m", "chase_spans")}
     try:
-        without = _run("m10", iq, snr_db=7.0, seed=5)
+        without = _run("m10", iq, snr_db=4.0, seed=5)
     finally:
         SPEC.extra.update(saved)
     dec_with = with_chase.metrics.frames_decoded
     dec_without = without.metrics.frames_decoded
-    assert dec_with >= 11, (dec_with, dec_without)
+    assert dec_with >= 8, (dec_with, dec_without)
     assert dec_with > dec_without, (dec_with, dec_without)
 
 
@@ -441,3 +443,49 @@ def test_c50_position_components_never_mix_bursts():
     pos = [f for _, f in frags if f.fields & Fields.POS]
     assert len(pos) == 1                    # one complete triple -> one fix
     assert pos[0].lat == pytest.approx(47.0)
+
+
+def test_m10_dualtone_frontend_active_and_gated():
+    """The dual-tone noncoherent FSK front end must engage for m10 (dev
+    12 kHz puts the FM discriminator below its click threshold at low
+    SNR) and its fir.tail state must carry the four mixed planes."""
+    from sondetpu.runtime.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(sonde="m10", channels=3, block_len=48000)
+    pipe = Pipeline(cfg)
+    assert pipe._dualtone
+    st = pipe.init_state()
+    assert st.fir.tail.shape[0] == 3 * 4
+    # rs41 (dev 2.4 kHz, no flag) stays on the discriminator
+    cfg2 = PipelineConfig(sonde="rs41", channels=3, block_len=48000)
+    pipe2 = Pipeline(cfg2)
+    assert not pipe2._dualtone
+    assert pipe2.init_state().fir.tail.shape[0] == 3
+
+
+def test_m10_anchorless_chase_requires_weak_support():
+    """A syndrome-matched flip OUTSIDE the device-ranked weak set satisfies
+    the checksum by construction, so an un-anchored channel must reject it
+    (~1.3%/window fabrication odds otherwise); once a checksum-clean fix
+    anchors the channel, the full anywhere-position search unlocks."""
+    from sondetpu.sondes.m10 import M10Decoder, M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    w = mod.build_frame(M10Truth(frame_no=42))   # 103B window incl 0xAA 0xAA
+
+    # flip one bit in the span, far from any listed weak bit
+    bad = w.copy()
+    bitpos = (2 + 0x30) * 8 + 3
+    bad[bitpos >> 3] ^= 0x80 >> (bitpos & 7)
+    weak = np.array([100, 101, 102], np.int64)     # does NOT cover bitpos
+
+    dec = M10Decoder()
+    assert dec._try_window(bad) is None            # checksum does fail
+    assert dec._chase(bad, weak, ch=0) is None     # anchorless: reject
+
+    anchor = dec._try_window(w)                    # clean frame anchors
+    assert anchor is not None
+    dec._last[0] = anchor
+    frag = dec._chase(bad, weak, ch=0)             # anchored: repair fires
+    assert frag is not None
+    assert frag.lat == pytest.approx(anchor.lat, abs=1e-6)
