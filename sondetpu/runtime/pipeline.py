@@ -322,7 +322,7 @@ class Pipeline:
         # Requires dev * n_proc / fs_proc to be an integer so the mixer is
         # phase-continuous across blocks without extra carried state.
         n_proc = c.block_len // c.decim
-        self._dualtone = (spec.modulation == "gfsk"
+        self._dualtone = (spec.modulation in ("gfsk", "fsk")
                           and bool(spec.extra.get("fsk_dualtone"))
                           and abs(spec.dev * n_proc / c.fs_proc
                                   - round(spec.dev * n_proc / c.fs_proc))

@@ -83,7 +83,11 @@ SPEC = ProtocolSpec(
     frame_bytes=FRAME_BYTES,
     line_code="nrz",
     deviation=2400.0,
-    extra={"dc_mode": "midpoint"},   # unwhitened NRZ: data-dc-immune slicer
+    extra={"dc_mode": "midpoint",    # unwhitened NRZ: data-dc-immune slicer
+           # orthogonal tones (spacing 2*dev = 2*baud): the dual-tone
+           # noncoherent front end beats the discriminator below ~4 dB
+           # (2 dB FER 0.0 with it vs 0.53 without; FER artifact)
+           "fsk_dualtone": True},
 )
 
 
