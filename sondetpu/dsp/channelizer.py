@@ -190,11 +190,13 @@ class PFBChannelizer:
         per use (scan probes, AutoFleet rebuilds) does not re-trace."""
         from sondetpu.pallas.pfb import tile_shape
         m_out = x_i.shape[-1] // self.n
-        ts = tile_shape(m_out, self.n)
-        # the Pallas FIR needs a real TPU (CPU/test runs take the XLA
-        # slice-sum twin — same accumulation order, atol-equal numerics)
+        ts = tile_shape(m_out, self.n, self.tpp)
+        # the Pallas FIR needs a real TPU — "axon" is this environment's
+        # tunneled-TPU PJRT plugin name; any OTHER backend (cpu, gpu)
+        # takes the XLA slice-sum twin (same accumulation order,
+        # atol-equal numerics), not a TPU-shaped Mosaic kernel
         tile = ts if (ts is not None
-                      and jax.default_backend() != "cpu") else None
+                      and jax.default_backend() in ("tpu", "axon")) else None
         return _pfb_jit(self.n, self.tpp, tile, jnp.asarray(self._hcol),
                         state, x_i, x_q)
 

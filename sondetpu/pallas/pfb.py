@@ -70,14 +70,17 @@ def _kernel(h_ref, vim_ref, vih_ref, vqm_ref, vqh_ref, ui_ref, uq_ref,
 _TM_CANDIDATES = (512, 480, 384, 256, 192, 128, 96, 64, 32, 16, 8)
 
 
-def tile_shape(m_out: int, n: int):
+def tile_shape(m_out: int, n: int, tpp: int = 8):
     """(TM, TN) for the kernel grid, or None if the shape doesn't tile
-    (callers fall back to the XLA slice-sum formulation)."""
+    (callers fall back to the XLA slice-sum formulation). TM must divide
+    m_out AND be a multiple of tpp — the halo strip's block index is in
+    units of its own tpp-row block shape, so a TM % tpp != 0 choice would
+    silently read the wrong halo rows."""
     if n % 128:
         return None
     tn = 256 if n % 256 == 0 else 128
     for tm in _TM_CANDIDATES:
-        if m_out % tm == 0:
+        if m_out % tm == 0 and tm % tpp == 0:
             return tm, tn
     return None
 

@@ -326,7 +326,11 @@ class Pipeline:
                           and bool(spec.extra.get("fsk_dualtone"))
                           and abs(spec.dev * n_proc / c.fs_proc
                                   - round(spec.dev * n_proc / c.fs_proc))
-                          < 1e-6)
+                          < 1e-6
+                          # the one-chip boxcar integrator must fit the
+                          # overlap-save tail (ntaps); a slower family
+                          # would get a silently truncated integrator
+                          and 2 <= round(c.sps) <= c.ntaps)
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
         # fused Pallas front end (chanfilt+decimate+demod+matched FIR in one
@@ -567,6 +571,7 @@ class Pipeline:
 
             fm_state = jnp.stack([iq_i[:, -1], iq_q[:, -1]], axis=-1)
             fir_state = None
+            afc_dc = None     # dualtone AFC discriminant (audio dc elsewhere)
             if self._dualtone:
                 # optimal noncoherent FSK: mix the channel by -/+dev (the
                 # two FSK tones land at DC of the p/m plane pairs), matched-
@@ -574,7 +579,9 @@ class Pipeline:
                 # carry in fir.tail, [4C, ntaps-1]), and take the normalized
                 # envelope difference as the soft chip metric in [-1, 1] —
                 # same scale as the discriminator's audio/dev, so dc-block,
-                # AFC, slicing, weak-bit ranking and soft_rms are unchanged.
+                # slicing, weak-bit ranking and soft_rms are unchanged
+                # (AFC uses its own strided discriminant below: the
+                # envelope metric's DC carries no offset information).
                 # No FM click threshold: this is what moves the m10 4 dB
                 # FER off the cliff (see __init__ note). The mixer needs no
                 # carried phase: dev*n/fs_proc is integer (gated in
@@ -616,6 +623,31 @@ class Pipeline:
                 pp = lp[:cc] ** 2 + lp[cc:2 * cc] ** 2
                 pm = lp[2 * cc:3 * cc] ** 2 + lp[3 * cc:] ** 2
                 audio = (pp - pm) / (pp + pm + np.float32(1e-12))
+                if c.afc:
+                    # AFC discriminant: a residual offset df rotates BOTH
+                    # mixed-down tone envelopes at exactly df (the active
+                    # tone's envelope dominates, the idle plane is noise
+                    # the matched lowpass has already crushed), so the
+                    # power-weighted mean phase advance of the lp planes
+                    # measures df directly — in the same audio/dev units
+                    # the loop expects. (A strided raw discriminator was
+                    # tried first and is NOT usable: GFSK transition
+                    # samples don't alias away and bias the mean.)
+                    lpf = lp.astype(jnp.float32)
+                    pi_, pq_ = lpf[:cc], lpf[cc:2 * cc]
+                    mi_, mq_ = lpf[2 * cc:3 * cc], lpf[3 * cc:]
+                    rot_re = (pi_[:, 1:] * pi_[:, :-1]
+                              + pq_[:, 1:] * pq_[:, :-1]
+                              + mi_[:, 1:] * mi_[:, :-1]
+                              + mq_[:, 1:] * mq_[:, :-1])
+                    rot_im = (pq_[:, 1:] * pi_[:, :-1]
+                              - pi_[:, 1:] * pq_[:, :-1]
+                              + mq_[:, 1:] * mi_[:, :-1]
+                              - mi_[:, 1:] * mq_[:, :-1])
+                    ang = jnp.arctan2(jnp.sum(rot_im, axis=-1),
+                                      jnp.sum(rot_re, axis=-1))
+                    afc_dc = ang * np.float32(
+                        c.fs_proc / (2.0 * np.pi * self._dev))
             else:
                 # L2: FM quadrature discriminator on I/Q planes (ref
                 # main.cpp:57): d = x[n]*conj(x[n-1]);
@@ -659,7 +691,8 @@ class Pipeline:
                     if c.fine_offsets is not None
                     else np.zeros((c.channels,), np.float32))
                 afc_freq = (f_seed + jnp.clip(
-                    freq_hz + np.float32(c.afc_beta) * dc
+                    freq_hz + np.float32(c.afc_beta)
+                    * (afc_dc if afc_dc is not None else dc)
                     * np.float32(self._dev) - f_seed, -maxhz, maxhz),)
 
             if self._afsk:

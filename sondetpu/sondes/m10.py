@@ -437,13 +437,16 @@ class M10Decoder(SondeDecoderBase):
         # fabricates a checksum-valid frame ~1.3% of failing windows
         # (824 single positions / 2^16). Flips entirely inside the
         # device-ranked weak set carry soft-decision evidence; the full
-        # anywhere search unlocks once a checksum-clean fix anchors the
-        # channel.
-        anchored = self._last.get(ch) is not None
+        # anywhere search unlocks once a POSITION fix anchors the channel
+        # (a POS-less fragment, e.g. an m20_inner salvage, must NOT anchor:
+        # _consistent would pass trivially against it). The weak filter
+        # runs BEFORE the max_tries truncation so anywhere-position
+        # candidates never crowd all-weak triples/quads out of the budget.
+        anchored = self._anchor(ch) is not None
         wset = set(widx)
+        if not anchored:
+            cands = [cd for cd in cands if all(i in wset for i in cd)]
         for cand in cands[:max_tries]:
-            if not anchored and not all(i in wset for i in cand):
-                continue
             w2 = w.copy()
             for i in cand:
                 b = int(all_wbit[i])
@@ -451,8 +454,21 @@ class M10Decoder(SondeDecoderBase):
             frag = self._try_window(w2)
             if (frag is not None and self._plausible(frag)
                     and self._consistent(ch, frag)):
-                self._last.setdefault(ch, frag)
+                # an accepted repair REFRESHES the anchor (it just passed
+                # the gate against the previous one): under sustained low
+                # SNR the reference tracks the moving sonde instead of
+                # rejecting every correct repair once the flight drifts
+                # past the gate bounds of a stale fix
+                if frag.fields & Fields.POS:
+                    self._last[ch] = frag
                 return frag
+        return None
+
+    def _anchor(self, ch: int) -> Optional[TelemetryFragment]:
+        """The channel's anchor fix, valid only if it carries a position."""
+        prev = self._last.get(ch)
+        if prev is not None and (prev.fields & Fields.POS):
+            return prev
         return None
 
     def _consistent(self, ch: int, frag: TelemetryFragment) -> bool:

@@ -169,3 +169,31 @@ def test_checkpoint_rejects_compute_dtype_mismatch(tmp_path):
                            compute_dtype="bf16")
     with pytest.raises(ValueError, match="dtype"):
         ckpt.load_session(DecoderSession(cfg16), str(path))
+
+
+def test_afc_tracks_offset_on_dualtone_family():
+    """The dual-tone envelope metric's DC carries no offset information, so
+    dual-tone AFC measures the power-weighted phase advance of the mixed
+    tone envelopes (which rotate at exactly the residual offset). A fixed
+    800 Hz offset on an m10 channel must pull the tracked frequency toward
+    +800 Hz."""
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    fs = 48000.0
+    mod = M10Modulator()
+    iq = mod.modulate([M10Truth(frame_no=i) for i in range(30)], fs=fs)
+    n = iq.size
+    t = np.arange(n)
+    sig = (iq * np.exp(2j * np.pi * 800.0 * t / fs)).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    sig = sig + (0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                 ).astype(np.complex64)
+
+    cfg = PipelineConfig(sonde="m10", channels=1, block_len=48000, afc=True)
+    sess = DecoderSession(cfg)
+    assert sess.pipeline._dualtone          # the path under test
+    for b in range(sig.size // 48000):
+        sess.process_block(sig[b * 48000:(b + 1) * 48000][None, :])
+    f = sess.afc_freqs[0]
+    assert 400.0 < f < 1200.0, f
+    assert sess.metrics.frames_decoded > 0

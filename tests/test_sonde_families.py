@@ -489,3 +489,33 @@ def test_m10_anchorless_chase_requires_weak_support():
     frag = dec._chase(bad, weak, ch=0)             # anchored: repair fires
     assert frag is not None
     assert frag.lat == pytest.approx(anchor.lat, abs=1e-6)
+
+
+def test_m10_chase_anchor_tracks_the_flight():
+    """An accepted chase repair must REFRESH the channel anchor: under
+    sustained low SNR the sonde keeps moving, and gating every repair
+    against a stale first fix would eventually reject all correct frames."""
+    from sondetpu.sondes.m10 import M10Decoder, M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    dec = M10Decoder()
+
+    def corrupted(truth):
+        w = mod.build_frame(truth)
+        bad = w.copy()
+        bitpos = (2 + 0x30) * 8 + 3
+        bad[bitpos >> 3] ^= 0x80 >> (bitpos & 7)
+        return w, bad
+
+    w0, _ = corrupted(M10Truth(frame_no=1, lat=52.0))
+    dec._last[0] = dec._try_window(w0)          # clean anchor at lat 52.0
+
+    weak = np.array([0, 1, 2], np.int64)        # never covers the flip
+    # each hop is within the 0.1-deg gate of the PREVIOUS fix, but the
+    # third hop is far outside the gate of the ORIGINAL anchor
+    for lat in (52.08, 52.16, 52.24):
+        _, bad = corrupted(M10Truth(frame_no=1, lat=lat))
+        frag = dec._chase(bad, weak, ch=0)
+        assert frag is not None, lat
+        assert frag.lat == pytest.approx(lat, abs=1e-5)
+    assert dec._last[0].lat == pytest.approx(52.24, abs=1e-5)

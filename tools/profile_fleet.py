@@ -84,19 +84,26 @@ def main():
     # (time-major Pallas kernel — the r4 production formulation)
     pfb = fleet.pfb
 
-    def fir_only(state, x_i, x_q):
-        from sondetpu.pallas.pfb import pfb_fir_timemajor, tile_shape
-        n, tpp = pfb.n, pfb.tpp
-        m_out = x_i.shape[-1] // n
-        ts = tile_shape(m_out, n)
-        vv_i = jnp.concatenate([jnp.asarray(state.tail_i), x_i]).reshape(-1, n)
-        vv_q = jnp.concatenate([jnp.asarray(state.tail_q), x_q]).reshape(-1, n)
-        return pfb_fir_timemajor(vv_i, vv_q, jnp.asarray(pfb._hcol),
-                                 tpp, ts[0], ts[1])
+    from sondetpu.pallas.pfb import tile_shape
+    ts_fir = tile_shape(w // pfb.n, pfb.n, pfb.tpp)
+    if ts_fir is not None:
 
-    fir_jit = jax.jit(fir_only)
-    dt = timeit(lambda: fir_jit(pfb_state, wi, wq), iters=iters)
-    rows.append(("pfb_fir", dt))
+        def fir_only(state, x_i, x_q):
+            from sondetpu.pallas.pfb import pfb_fir_timemajor
+            n, tpp = pfb.n, pfb.tpp
+            vv_i = jnp.concatenate([jnp.asarray(state.tail_i),
+                                    x_i]).reshape(-1, n)
+            vv_q = jnp.concatenate([jnp.asarray(state.tail_q),
+                                    x_q]).reshape(-1, n)
+            return pfb_fir_timemajor(vv_i, vv_q, jnp.asarray(pfb._hcol),
+                                     tpp, ts_fir[0], ts_fir[1])
+
+        fir_jit = jax.jit(fir_only)
+        dt = timeit(lambda: fir_jit(pfb_state, wi, wq), iters=iters)
+        rows.append(("pfb_fir", dt))
+    else:
+        print("pfb_fir: shape doesn't tile for the Pallas kernel "
+              "(production takes the XLA slice-sum twin); row skipped")
 
     # channelized planes for the group stages
     _, yi, yq = fleet.pfb(pfb_state, wi, wq)
