@@ -152,7 +152,7 @@ def main():
     state, out = pipe.step(state, (iq_i, iq_q))
     jax.block_until_ready(out)
 
-    iters = 10
+    iters = 14
     frames_found = 0
     times = []
     prev = None
