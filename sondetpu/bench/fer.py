@@ -42,7 +42,9 @@ def _make_truths(sonde: str, n: int):
 def fer_sweep(sonde: str, snrs_db: Sequence[float], n_frames: int = 20,
               fs: float = 48000.0, block_len: int = 48000, seed: int = 0,
               channels: int = 1) -> Dict:
-    """Returns {"sonde", "n_frames", "points": [{snr_db, decoded, fer}]}."""
+    """Returns {"sonde", "n_frames_modulated", "decode_unit",
+    "fer_denominator_clean_units", "points": [{snr_db, decoded, fer}]}
+    (fer = 1 - decoded/clean_units; see the denominator note below)."""
     modcls = get_sonde(sonde)["modulator"]
     mod = modcls()
     truths = _make_truths(sonde, n_frames)

@@ -196,8 +196,22 @@ class MultiGPXWriter:
             fp = os.path.join(d, fn)
             try:
                 with open(fp, "rb") as f:
-                    head = f.readline().decode("utf-8", "replace")
-                    self._total += sum(1 for ln in f if ln.startswith(b"<trkpt"))
+                    raw_head = f.readline()
+                    head = raw_head.decode("utf-8", "replace")
+                    body = f.read()
+                # TRUNCATE a torn trailing point NOW, not only at rewrite
+                # time: the killed run may have died mid-append, and the
+                # adopted file's next append would otherwise land AFTER
+                # the torn bytes — a later complete point then makes
+                # _rewrite's trailing-trim keep the garbage mid-body and
+                # the master is malformed XML forever
+                end = body.rfind(b"</trkpt>\n")
+                good = len(raw_head) + (end + 9 if end >= 0 else 0)
+                if good < len(raw_head) + len(body):
+                    with open(fp, "r+b") as f:
+                        f.truncate(good)
+                    body = body[:end + 9 if end >= 0 else 0]
+                self._total += body.count(b"\n<trkpt") + body.startswith(b"<trkpt")
             except OSError:
                 continue
             if head.startswith("#serial "):

@@ -10,6 +10,7 @@ stream.
 from __future__ import annotations
 
 import json
+import math
 import sys
 from typing import IO, Optional
 
@@ -59,5 +60,10 @@ class JSONLWriter:
             return
         rec = {"channel": channel, "type": sonde_type}
         rec.update(data.to_dict())
-        self._fd.write(json.dumps(rec) + "\n")
+        # strict JSON: json.dumps would emit bare NaN/Infinity tokens for
+        # not-yet-derivable fields (e.g. climb before the second fix),
+        # which breaks jq/strict parsers — null is the faithful encoding
+        rec = {k: (None if isinstance(v, float) and not math.isfinite(v)
+                   else v) for k, v in rec.items()}
+        self._fd.write(json.dumps(rec, allow_nan=False) + "\n")
         self._fd.flush()

@@ -122,7 +122,14 @@ class FleetSession:
             pfb = self.pfb
 
             def fused_impl(pfb_state, states, wi, wq):
-                pfb_state, yi, yq = pfb._impl(pfb_state, wi, wq)
+                # same tile selection as PFBChannelizer.__call__: without
+                # it the fused path silently took the XLA slice-sum twin
+                # and the Pallas branch-FIR kernel never ran in production
+                from sondetpu.pallas.pfb import tile_shape
+                ts = tile_shape(wi.shape[-1] // pfb.n, pfb.n, pfb.tpp)
+                tile = ts if (ts is not None and _jax.default_backend()
+                              in ("tpu", "axon")) else None
+                pfb_state, yi, yq = pfb._impl(pfb_state, wi, wq, tile=tile)
                 new_states, packeds, frames = [], [], []
                 for (sonde, bins, sess), st in zip(self._order, states):
                     k = _jnp.asarray(bins)

@@ -74,15 +74,21 @@ SPEC = ProtocolSpec(
 
 class C50Decoder(SondeDecoderBase):
     spec = SPEC
+    # a lat/lon/alt component older than this many position telegrams may
+    # not pair into a fix (~4 full telegram cycles of slack)
+    MAX_COMPONENT_AGE = 12
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self._date: Dict[int, Tuple[int, int, int]] = {}   # ch -> (y, m, d)
-        self._pos: Dict[int, Dict[str, float]] = {}        # ch -> partial fix
+        # ch -> component -> (value, telegram index)
+        self._pos: Dict[int, Dict[str, Tuple[float, int]]] = {}
+        self._tix: Dict[int, int] = {}                     # ch -> telegram no.
 
     def reset_channel(self, channel: int) -> None:
         self._date.pop(channel, None)
         self._pos.pop(channel, None)
+        self._tix.pop(channel, None)
 
     def decode_byte_frames(self, frames: np.ndarray, channels
                            ) -> List[Tuple[int, TelemetryFragment]]:
@@ -127,16 +133,28 @@ class C50Decoder(SondeDecoderBase):
                 frag.fields |= Fields.SEQ
         elif typ in (TYPE_LAT, TYPE_LON, TYPE_ALT):
             # single-parameter telegrams: accumulate the fix per channel and
-            # emit a full POS fragment once lat/lon/alt have all arrived
+            # emit a full POS fragment once lat/lon/alt have all arrived.
+            # Each component is stamped with a per-channel telegram counter
+            # and expires after MAX_COMPONENT_AGE telegrams: without the
+            # bound, a lat whose successors keep failing CRC could pair
+            # with lon/alt minutes fresher — a position offset by the whole
+            # intervening flight drift in one axis.
+            tix = self._tix.get(ch, 0) + 1
+            self._tix[ch] = tix
             pos = self._pos.setdefault(ch, {})
+            for k in [k for k, (_, t0) in pos.items()
+                      if tix - t0 > self.MAX_COMPONENT_AGE]:
+                del pos[k]
             if typ == TYPE_LAT:
-                pos["lat"] = ival * 1e-6
+                pos["lat"] = (ival * 1e-6, tix)
             elif typ == TYPE_LON:
-                pos["lon"] = ival * 1e-6
+                pos["lon"] = (ival * 1e-6, tix)
             else:
-                pos["alt"] = ival / 100.0
-            if len(pos) == 3 and not (pos["lat"] == 0 and pos["lon"] == 0):
-                frag.lat, frag.lon, frag.alt = pos["lat"], pos["lon"], pos["alt"]
+                pos["alt"] = (ival / 100.0, tix)
+            if len(pos) == 3 and not (pos["lat"][0] == 0
+                                      and pos["lon"][0] == 0):
+                frag.lat, frag.lon, frag.alt = (pos["lat"][0], pos["lon"][0],
+                                                pos["alt"][0])
                 frag.fields |= Fields.POS
                 # one fix per complete lat/lon/alt TRIPLE: clearing prevents
                 # a later lone component from pairing with stale ones

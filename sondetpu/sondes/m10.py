@@ -404,10 +404,11 @@ class M10Decoder(SondeDecoderBase):
         allv, order, sv, tab = syndrome_positions(span_len)
         targets = (np.uint32(d) ^ all_synd).astype(np.int64)
         a = tab[targets]
+        # targets <= 0xFFFF, so targets+1 == tab.size falls to the else
+        # branch (sv.size) here — no separate boundary fixup needed
         b = np.where(targets + 1 < tab.size, tab[np.minimum(targets + 1,
                                                             tab.size - 1)],
                      sv.size)
-        b = np.where(targets + 1 == tab.size, sv.size, b)
         for i in np.nonzero(b > a)[0]:
             for j in order[a[i]:b[i]]:
                 if int(j) > int(i):
@@ -452,6 +453,12 @@ class M10Decoder(SondeDecoderBase):
                 b = int(all_wbit[i])
                 w2[b >> 3] ^= 0x80 >> (b & 7)
             frag = self._try_window(w2)
+            if frag is not None and not (frag.fields & Fields.POS) \
+                    and not all(i in wset for i in cand):
+                # a POS-less result (m20_inner salvage) slips past the
+                # temporal gate trivially, so anywhere-position flips may
+                # not produce one — only reliability-supported flips can
+                continue
             if (frag is not None and self._plausible(frag)
                     and self._consistent(ch, frag)):
                 # an accepted repair REFRESHES the anchor (it just passed

@@ -261,3 +261,33 @@ for i in range(40):
                len(t.findall(".//g:trkpt", ns)) for t in trks}
     assert by_name["RS41-A"] >= written
     assert not (tmp_path / "fleet.gpx.d").exists()  # clean close tidies up
+
+
+def test_multigpx_torn_tail_then_append_stays_valid_xml(tmp_path):
+    """A seg file left with a PARTIAL trailing point (crash mid-append)
+    must be truncated at adoption: otherwise the next append lands after
+    the torn bytes and the rebuilt master is malformed XML forever."""
+    import xml.etree.ElementTree as ET
+    from sondetpu.io.gpx import MultiGPXWriter
+
+    p = tmp_path / "fleet.gpx"
+    w = MultiGPXWriter(str(p))
+    for i in range(3):
+        w.add_track_point("RS41-A", 1.7e9 + i, 47.0 + i * 1e-3, 8.0,
+                          1000.0 + i, 5.0, 90.0)
+    w.deinit_keep_segments() if hasattr(w, "deinit_keep_segments") else None
+    # simulate the torn tail directly in the segment file
+    seg = next(f for f in (tmp_path / "fleet.gpx.d").iterdir()
+               if f.suffix == ".seg")
+    with open(seg, "ab") as f:
+        f.write(b'<trkpt lat="47.1')              # crash mid-append
+    for fd in w._segs.values():
+        fd.close()
+
+    w2 = MultiGPXWriter(str(p))                    # adoption truncates
+    w2.add_track_point("RS41-A", 1.7e9 + 9, 47.9, 8.0, 1009.0, 5.0, 90.0)
+    w2.flush() if hasattr(w2, "flush") else w2._rewrite()
+    tree = ET.parse(p)                             # must stay well-formed
+    ns = {"g": "http://www.topografix.com/GPX/1/1"}
+    pts = tree.getroot().findall(".//g:trkpt", ns)
+    assert len(pts) == 4                           # 3 intact + 1 appended
