@@ -319,3 +319,41 @@ def test_fused_matches_unfused():
         results.append((ups, {k: (t.serial, t.lat, t.alt, t.seq)
                               for k, t in telem.items()}))
     assert results[0] == results[1], results
+
+
+def test_fused_step_selects_pallas_tile_on_tpu(monkeypatch):
+    """The fused fleet step must do the SAME tile/backend selection as
+    PFBChannelizer.__call__ — round 4 shipped with the fused path silently
+    taking the XLA slice-sum twin, so the Pallas PFB kernel never ran in
+    the production fleet configuration (found by review)."""
+    import jax
+    import sondetpu.runtime.fleet as fleet_mod
+    import sondetpu.pallas.pfb as pfb_mod
+    from sondetpu.dsp.channelizer import PFBChannelizer
+
+    calls = []
+    real = pfb_mod.pfb_fir_timemajor
+
+    def spy(vv_i, vv_q, hcol, tpp, tm, tn, interpret=False):
+        calls.append((tm, tn))
+        # interpret mode so the kernel traces+runs without a real TPU
+        return real(vv_i, vv_q, hcol, tpp, tm, tn, interpret=True)
+
+    monkeypatch.setattr(pfb_mod, "pfb_fir_timemajor", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # tileable shape: n_bins=128 (lanes), 320 samples/channel (divides the
+    # rs41 sps grid and tiles as (32, 128))
+    n_bins, m_out = 128, 320
+    chans = [FleetChannel(pfb_bin=k, sonde="rs41") for k in range(2)]
+    fleet = FleetSession(chans, n_bins=n_bins, fs_chan=48000.0,
+                         block_len=m_out * 1)
+    assert fleet._fused
+    rng = np.random.default_rng(0)
+    w = n_bins * m_out
+    wi = rng.normal(size=w, scale=0.1).astype(np.float32)
+    wq = rng.normal(size=w, scale=0.1).astype(np.float32)
+    fleet.process_wideband((wi, wq))
+    assert calls, "fused step never reached the Pallas PFB FIR"
+    tm, tn = calls[0]
+    assert m_out % tm == 0 and n_bins % tn == 0
