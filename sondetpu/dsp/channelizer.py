@@ -182,21 +182,29 @@ class PFBChannelizer:
         see :func:`bin_and_offset`."""
         return bin_and_offset(center_hz, fs_chan, self.n)
 
+    def select_tile(self, m_out: int):
+        """The Pallas branch-FIR tile for an m_out-sample output block, or
+        None when the XLA slice-sum twin must run instead. The SINGLE
+        selection authority for both the standalone ``__call__`` and the
+        fleet's fused step (runtime/fleet.py) — a duplicated copy already
+        desynced once (the fused path silently taking the XLA twin).
+
+        The Pallas FIR needs a real TPU — "axon" is this environment's
+        tunneled-TPU PJRT plugin name; any OTHER backend (cpu, gpu) takes
+        the XLA twin (same accumulation order, atol-equal numerics), not a
+        TPU-shaped Mosaic kernel."""
+        from sondetpu.pallas.pfb import tile_shape
+        ts = tile_shape(m_out, self.n, self.tpp)
+        return ts if (ts is not None
+                      and jax.default_backend() in ("tpu", "axon")) else None
+
     def __call__(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
         """One block: wideband planes [W] (W % N == 0) ->
         (state, y_i [N, W/N], y_q [N, W/N]). Jit-compiled; results are
         device-resident. The compiled program is cached MODULE-wide keyed
         on (n, tpp) + shapes, so code that constructs fresh channelizers
         per use (scan probes, AutoFleet rebuilds) does not re-trace."""
-        from sondetpu.pallas.pfb import tile_shape
-        m_out = x_i.shape[-1] // self.n
-        ts = tile_shape(m_out, self.n, self.tpp)
-        # the Pallas FIR needs a real TPU — "axon" is this environment's
-        # tunneled-TPU PJRT plugin name; any OTHER backend (cpu, gpu)
-        # takes the XLA slice-sum twin (same accumulation order,
-        # atol-equal numerics), not a TPU-shaped Mosaic kernel
-        tile = ts if (ts is not None
-                      and jax.default_backend() in ("tpu", "axon")) else None
+        tile = self.select_tile(x_i.shape[-1] // self.n)
         return _pfb_jit(self.n, self.tpp, tile, jnp.asarray(self._hcol),
                         state, x_i, x_q)
 

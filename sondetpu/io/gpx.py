@@ -198,6 +198,12 @@ class MultiGPXWriter:
                 with open(fp, "rb") as f:
                     raw_head = f.readline()
                     head = raw_head.decode("utf-8", "replace")
+                    if not head.startswith("#serial "):
+                        # NOT a segment file (pre-existing dir, another
+                        # tool's leftovers, torn header): leave it
+                        # untouched — truncating or counting it would
+                        # destroy foreign data
+                        continue
                     body = f.read()
                 # TRUNCATE a torn trailing point NOW, not only at rewrite
                 # time: the killed run may have died mid-append, and the
@@ -214,8 +220,7 @@ class MultiGPXWriter:
                 self._total += body.count(b"\n<trkpt") + body.startswith(b"<trkpt")
             except OSError:
                 continue
-            if head.startswith("#serial "):
-                self._fnames[head[8:].rstrip("\n")] = fp
+            self._fnames[head[8:].rstrip("\n")] = fp
         try:
             self._rewrite()
         except OSError:

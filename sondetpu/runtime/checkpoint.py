@@ -40,7 +40,11 @@ def _check_state_layout(saved, current, what: str) -> None:
         if np.shape(s) != np.shape(c):
             raise ValueError(
                 f"{what}: state leaf {i} shape {np.shape(s)} != "
-                f"{np.shape(c)} (config mismatch)")
+                f"{np.shape(c)} (config mismatch — e.g. afc/fine_offsets "
+                "toggled, or a pre-r4 checkpoint of a dual-tone family: "
+                "the m10/ims100/mrzn1 front end now carries 4 mixed "
+                "planes per channel in fir.tail, so old checkpoints of "
+                "those families cannot restore)")
         s_dt, c_dt = np.asarray(s).dtype, np.asarray(c).dtype
         if s_dt != c_dt:
             raise ValueError(

@@ -122,13 +122,10 @@ class FleetSession:
             pfb = self.pfb
 
             def fused_impl(pfb_state, states, wi, wq):
-                # same tile selection as PFBChannelizer.__call__: without
-                # it the fused path silently took the XLA slice-sum twin
-                # and the Pallas branch-FIR kernel never ran in production
-                from sondetpu.pallas.pfb import tile_shape
-                ts = tile_shape(wi.shape[-1] // pfb.n, pfb.n, pfb.tpp)
-                tile = ts if (ts is not None and _jax.default_backend()
-                              in ("tpu", "axon")) else None
+                # single tile-selection authority (PFBChannelizer): a
+                # duplicated copy desynced once and the fused path
+                # silently took the XLA slice-sum twin on TPU
+                tile = pfb.select_tile(wi.shape[-1] // pfb.n)
                 pfb_state, yi, yq = pfb._impl(pfb_state, wi, wq, tile=tile)
                 new_states, packeds, frames = [], [], []
                 for (sonde, bins, sess), st in zip(self._order, states):
@@ -206,6 +203,10 @@ class FleetSession:
             from sondetpu.io.iq import c64_to_planes
             wi, wq = c64_to_planes(np.asarray(iq))   # native deinterleaver
         if self._fused:
+            # read each group's CURRENT session state (not a cached tuple):
+            # a reset_channel / checkpoint-restore between blocks replaces
+            # sess.state, and the fused step must see the replacement
+            self._states = tuple(sess.state for _, _, sess in self._order)
             self.pfb_state, self._states, packed_all, frames = \
                 self._fused_step(self.pfb_state, self._states, wi, wq)
             # sessions see their live state (checkpoint/afc introspection)

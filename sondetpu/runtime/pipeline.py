@@ -331,6 +331,23 @@ class Pipeline:
                           # overlap-save tail (ntaps); a slower family
                           # would get a silently truncated integrator
                           and 2 <= round(c.sps) <= c.ntaps)
+        if spec.extra.get("fsk_dualtone") and not self._dualtone \
+                and spec.modulation in ("gfsk", "fsk"):
+            # the spec ASKS for the noncoherent dual-tone front end but the
+            # config can't host it — falling back to the click-prone FM
+            # discriminator silently costs the several-dB FER gain the flag
+            # exists for, so name the failed condition once
+            import warnings
+            phase_ok = abs(spec.dev * n_proc / c.fs_proc
+                           - round(spec.dev * n_proc / c.fs_proc)) < 1e-6
+            why = ("dev*block/fs_proc=%g not integer (mixer would lose "
+                   "phase continuity)" % (spec.dev * n_proc / c.fs_proc)
+                   if not phase_ok else
+                   "sps=%g outside [2, ntaps=%d]" % (c.sps, c.ntaps))
+            warnings.warn(
+                f"{c.sonde}: fsk_dualtone requested but unavailable for "
+                f"this config ({why}); falling back to the FM "
+                f"discriminator (worse low-SNR FER)", stacklevel=3)
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
         # fused Pallas front end (chanfilt+decimate+demod+matched FIR in one

@@ -85,10 +85,29 @@ class DecoderSession:
     def reset_channel(self, channel: int) -> None:
         """Drop a channel's host state (elastic recovery, SURVEY.md §5.3);
         device state re-syncs on the next frames by itself (syncword
-        re-acquisition is the protocol's own elasticity)."""
+        re-acquisition is the protocol's own elasticity) — EXCEPT the
+        AFC-tracked DDC frequency: a loop that mis-tracked to its clamp
+        would hand the old sonde's offset to the next sonde on this
+        channel, so the channel's row of state.aux[-1] is reseeded to its
+        fine_offsets seed."""
         self.decoder.reset_channel(channel)
         self.telemetry.pop(channel, None)
         self._last_update_block.pop(channel, None)
+        if self.config.afc:
+            import jax
+            freqs = self.state.aux[-1]
+            if isinstance(freqs, jax.Array) and not freqs.is_fully_addressable:
+                return   # multi-process: only the owning process reseeds
+                         # (its own watchdog fires for its local channels)
+            freqs = np.asarray(freqs).copy()
+            seed = (np.float32(self.config.fine_offsets[channel])
+                    if self.config.fine_offsets is not None
+                    else np.float32(0.0))
+            freqs[channel] = seed
+            new_aux = self.state.aux[:-1] + (freqs,)
+            self.state = self.state._replace(aux=new_aux)
+            if self._shard_fn is not None:
+                self.state = self._shard_fn(self.state)
 
     def watchdog(self, max_idle_blocks: int) -> List[int]:
         """Reset channels that produced no telemetry for max_idle_blocks.

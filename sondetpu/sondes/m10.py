@@ -252,13 +252,23 @@ class M10Decoder(SondeDecoderBase):
     # checksum failures get a Chase-2 style flip search over them
     wants_weak_bits = True
 
+    # consecutive chase-only anchor refreshes allowed before the anchor
+    # expires: each accepted repair passes the gate against the PREVIOUS
+    # anchor, so a chain of mis-repairs each within the 0.1 deg / 2 km
+    # bound could otherwise walk the anchor arbitrarily far from truth
+    # under sustained low SNR; only a clean full-checksum frame re-grounds
+    MAX_CHASE_STREAK = 8
+
     def __init__(self) -> None:
         # last checksum-clean fix per channel: the temporal-consistency
         # gate for chase repairs (see _consistent)
         self._last: dict = {}
+        # consecutive chase-refreshes since the last clean frame per channel
+        self._chase_streak: dict = {}
 
     def reset_channel(self, channel: int) -> None:
         self._last.pop(channel, None)
+        self._chase_streak.pop(channel, None)
 
     def decode_byte_frames(self, frames: np.ndarray, channels,
                            weak_bits: Optional[np.ndarray] = None
@@ -274,6 +284,7 @@ class M10Decoder(SondeDecoderBase):
                 # consistency reference for future chase repairs
                 if frag.fields & Fields.POS:
                     self._last[ch] = frag
+                    self._chase_streak[ch] = 0
             elif weak_bits is not None:
                 frag = self._chase(w, weak_bits[fi], ch)
             if frag is not None and frag.fields:
@@ -465,9 +476,19 @@ class M10Decoder(SondeDecoderBase):
                 # the gate against the previous one): under sustained low
                 # SNR the reference tracks the moving sonde instead of
                 # rejecting every correct repair once the flight drifts
-                # past the gate bounds of a stale fix
+                # past the gate bounds of a stale fix — but only for
+                # MAX_CHASE_STREAK consecutive repairs; after that the
+                # anchor EXPIRES (repair-derived anchors must not compound
+                # indefinitely) and the channel falls back to the
+                # anchorless weak-set-only policy until a clean frame
                 if frag.fields & Fields.POS:
-                    self._last[ch] = frag
+                    streak = self._chase_streak.get(ch, 0) + 1
+                    if streak > self.MAX_CHASE_STREAK:
+                        self._last.pop(ch, None)
+                        self._chase_streak.pop(ch, None)
+                    else:
+                        self._last[ch] = frag
+                        self._chase_streak[ch] = streak
                 return frag
         return None
 

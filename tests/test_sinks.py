@@ -291,3 +291,30 @@ def test_multigpx_torn_tail_then_append_stays_valid_xml(tmp_path):
     ns = {"g": "http://www.topografix.com/GPX/1/1"}
     pts = tree.getroot().findall(".//g:trkpt", ns)
     assert len(pts) == 4                           # 3 intact + 1 appended
+
+
+def test_multigpx_adoption_leaves_foreign_files_untouched(tmp_path):
+    """init() crash-recovery adoption must only truncate/count files whose
+    first line is a '#serial ' header: a foreign file living in the .d
+    directory (another tool's output, a torn-header segment) must survive
+    byte-identical (ADVICE r4 medium)."""
+    from sondetpu.io.gpx import MultiGPXWriter
+
+    p = tmp_path / "fleet.gpx"
+    d = tmp_path / "fleet.gpx.d"
+    d.mkdir()
+    foreign = d / "notes.txt"
+    # no trailing "</trkpt>\n" anywhere -> the old code truncated this to
+    # its first line; content chosen so truncation is observable
+    payload = b"some unrelated file\nwith several lines\nno gpx inside\n"
+    foreign.write_bytes(payload)
+    torn = d / "torn.seg"
+    torn_payload = b"#seri"          # torn header: NOT a valid segment
+    torn.write_bytes(torn_payload)
+    w = MultiGPXWriter(str(p))
+    assert foreign.read_bytes() == payload
+    assert torn.read_bytes() == torn_payload
+    assert w._total == 0             # foreign points never counted
+    w.add_track_point("S1", 1.7e9, 45.0, 9.0, 1000.0, 5, 90)
+    w.deinit()
+    assert foreign.read_bytes() == payload

@@ -519,3 +519,45 @@ def test_m10_chase_anchor_tracks_the_flight():
         assert frag is not None, lat
         assert frag.lat == pytest.approx(lat, abs=1e-5)
     assert dec._last[0].lat == pytest.approx(52.24, abs=1e-5)
+
+
+def test_m10_chase_anchor_expires_after_streak():
+    """Chase-only anchor refreshes must not compound forever: each accepted
+    repair passes the consistency gate only against the PREVIOUS anchor, so
+    a chain of mis-repairs could walk the anchor arbitrarily far under
+    sustained low SNR. After MAX_CHASE_STREAK consecutive chase refreshes
+    the anchor expires; a clean frame re-grounds it (ADVICE r4)."""
+    from sondetpu.sondes.m10 import M10Decoder, M10Modulator, M10Truth
+
+    dec = M10Decoder()
+    mod = M10Modulator()
+    clean = mod.build_frame(M10Truth(frame_no=1))
+
+    out = dec.decode_byte_frames(clean[None, :], [0])
+    assert len(out) == 1 and dec._anchor(0) is not None
+    assert dec._chase_streak[0] == 0
+
+    flip_bit = (2 + 0x30) * 8 + 6        # a data-span bit (window coords)
+
+    def corrupted():
+        w = clean.copy()
+        w[flip_bit >> 3] ^= 0x80 >> (flip_bit & 7)
+        return w
+
+    for i in range(M10Decoder.MAX_CHASE_STREAK):
+        out = dec.decode_byte_frames(corrupted()[None, :], [0],
+                                     weak_bits=np.asarray([[flip_bit]]))
+        assert len(out) == 1, i          # repair accepted
+        assert dec._anchor(0) is not None
+        assert dec._chase_streak[0] == i + 1
+
+    # one past the cap: repair still accepted, but the anchor EXPIRES
+    out = dec.decode_byte_frames(corrupted()[None, :], [0],
+                                 weak_bits=np.asarray([[flip_bit]]))
+    assert len(out) == 1
+    assert dec._anchor(0) is None
+
+    # a clean frame re-grounds the anchor and resets the streak
+    dec.decode_byte_frames(clean[None, :], [0])
+    assert dec._anchor(0) is not None
+    assert dec._chase_streak[0] == 0
