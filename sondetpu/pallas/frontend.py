@@ -292,7 +292,10 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
     up to a chunk multiple and the outputs trimmed, so any n >= decim
     works — the default 48000-sample block pads 128 samples);
     tails [C, HALO] raw input carry; taps [1, ntaps]; scale [1, 1].
-    Returns (filt [C, n//decim], new_tail_i, new_tail_q).
+    Returns (filt [C, n//decim], new_tail_i, new_tail_q, dc [C]) where dc
+    is the block-mean audio — the FM discriminator DC the AFC loop feeds
+    on (1.0 == spec.dev Hz of residual carrier offset), exported so AFC
+    can coexist with the fused kernel.
     """
     c, n = iq_i.shape
     assert chunk % HALO == 0 and n % decim == 0, (n, chunk)
@@ -379,8 +382,218 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
         )(iq_i, iq_q, iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale)
     if pad:
         filt = filt[:, :n_valid]
+    per_chunk = sums.reshape(c, nchunks, SUMW)[:, :, 0]
+    dc = jnp.sum(per_chunk, axis=-1) / n_valid
     if dc_block:
-        per_chunk = sums.reshape(c, nchunks, SUMW)[:, :, 0]
-        filt = filt - (jnp.sum(per_chunk, axis=-1) / n_valid)[:, None]
-    return filt, new_tail_i, new_tail_q
+        filt = filt - dc[:, None]
+    return filt, new_tail_i, new_tail_q, dc
 
+
+# ---------------------------------------------------------------------------
+# Dual-tone noncoherent FSK front-end kernel (m10 / ims100 / mrzn1)
+# ---------------------------------------------------------------------------
+#
+# The optimal noncoherent receiver for high-deviation FSK (see
+# runtime/pipeline.py dual-tone notes): mix the channel-filtered signal by
+# -/+dev so the two FSK tones land at DC of the plus/minus plane pairs,
+# matched-boxcar all four planes (one chip of integration), and take the
+# normalized envelope difference as the soft chip metric. The jnp
+# formulation round-trips [4C, n] mixed planes + [4C, n] filtered planes
+# through HBM; this kernel fuses channel filter + mix + boxcar + envelope
+# into ONE VMEM pass per (channel-tile, time-chunk) grid cell, and exports
+# the per-chunk metric sums (block DC) and — when AFC is on — the
+# power-weighted envelope-rotation sums the AFC discriminant needs (the lp
+# planes never exist in HBM, so the kernel is the only place they can be
+# accumulated).
+#
+# The +/-dev mixer tables are precomputed HOST-SIDE in float64 (on-device
+# f32 trig at arguments ~1e5 rad loses everything to range reduction — the
+# hardware-verified lesson in runtime/pipeline.py) and are periodic with
+# the block (dev * n / fs_proc is integer, gated by the pipeline), so each
+# chunk's window of [HALO history | chunk body] table values is a static
+# slice of a host-built per-chunk table array.
+
+
+def _dualtone_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
+                     tab_cos, tab_sin, chan_taps,
+                     metric_ref, dc_ref, rot_re_ref, rot_im_ref,
+                     *, ntaps: int, nb: int, valid, want_afc: bool):
+    j = pl.program_id(1)
+    T = ntaps
+    ck = body_i.shape[-1]
+    # chanfilt outputs at positions k in [-nb, ck): nb-1 of boxcar history
+    # for metric position 0, plus one more (position -1) for the AFC
+    # boundary rotation pair
+    cp = ck + nb
+
+    hi = jnp.where(j == 0, tail_i[:], halo_i[:])
+    hq = jnp.where(j == 0, tail_q[:], halo_q[:])
+    xw_i = jnp.concatenate([hi, body_i[:]], axis=-1)   # [TC, HALO + ck]
+    xw_q = jnp.concatenate([hq, body_q[:]], axis=-1)
+
+    def chanfilt(xw):
+        # cf[m] = sum_u hc[u] * x[P_m - u], P_m = j*ck + (m - nb)
+        # window index of P_m: HALO + m - nb - u
+        acc = jnp.zeros((xw.shape[0], cp), jnp.float32)
+        for u in range(T):
+            b = HALO - nb - u
+            acc = acc + chan_taps[0, u] * xw[:, b: b + cp]
+        return acc
+
+    cf_i = chanfilt(xw_i)
+    cf_q = chanfilt(xw_q)
+
+    # +/-dev mix: table window covers positions [-HALO, ck); position
+    # k = m - nb is table index HALO + m - nb
+    cv = tab_cos[:, HALO - nb: HALO - nb + cp]         # [1, cp]
+    sv = tab_sin[:, HALO - nb: HALO - nb + cp]
+    p_i = cf_i * cv + cf_q * sv      # +tone I  (x * e^{-j ang})
+    p_q = cf_q * cv - cf_i * sv      # +tone Q
+    m_i = cf_i * cv - cf_q * sv      # -tone I  (x * e^{+j ang})
+    m_q = cf_q * cv + cf_i * sv      # -tone Q
+
+    def box(p):
+        # lp[m'] at position k = m' - 1 for m' in [0, ck+1):
+        # mean of plane positions k-v, v in [0, nb) == plane array index
+        # m' - 1 - v + nb
+        acc = jnp.zeros((p.shape[0], ck + 1), jnp.float32)
+        for v in range(nb):
+            o = nb - 1 - v
+            acc = acc + p[:, o: o + ck + 1]
+        return acc * (1.0 / nb)
+
+    lp_pi = box(p_i)                 # [TC, ck+1], positions [-1, ck)
+    lp_pq = box(p_q)
+    lp_mi = box(m_i)
+    lp_mq = box(m_q)
+
+    pp = lp_pi * lp_pi + lp_pq * lp_pq
+    pm = lp_mi * lp_mi + lp_mq * lp_mq
+    met_full = (pp - pm) / (pp + pm + 1e-12)           # positions [-1, ck)
+    metric = met_full[:, 1:]
+    metric_ref[:] = metric
+    dc_ref[:] = _dc_sum(metric, j, ck, valid)
+
+    if want_afc:
+        # AFC discriminant partials: envelope-rotation products of adjacent
+        # lp samples, pair (k, k-1) for global pair index t = j*ck + k.
+        # The jnp reference sums pairs t in [1, n): mask out t == 0 (block
+        # boundary — no previous sample) and the zero-pad region.
+        a = (lp_pi[:, 1:] * lp_pi[:, :-1] + lp_pq[:, 1:] * lp_pq[:, :-1]
+             + lp_mi[:, 1:] * lp_mi[:, :-1] + lp_mq[:, 1:] * lp_mq[:, :-1])
+        b = (lp_pq[:, 1:] * lp_pi[:, :-1] - lp_pi[:, 1:] * lp_pq[:, :-1]
+             + lp_mq[:, 1:] * lp_mi[:, :-1] - lp_mi[:, 1:] * lp_mq[:, :-1])
+        t = j * ck + jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1)
+        keep = t >= 1
+        if valid is not None:
+            keep = keep & (t < valid)
+        a = jnp.where(keep, a, 0.0)
+        b = jnp.where(keep, b, 0.0)
+        rr = jnp.sum(a, axis=-1, keepdims=True)
+        ri = jnp.sum(b, axis=-1, keepdims=True)
+        rot_re_ref[:] = jnp.broadcast_to(rr, (a.shape[0], SUMW))
+        rot_im_ref[:] = jnp.broadcast_to(ri, (a.shape[0], SUMW))
+    else:
+        rot_re_ref[:] = jnp.zeros((metric.shape[0], SUMW), jnp.float32)
+        rot_im_ref[:] = jnp.zeros((metric.shape[0], SUMW), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ntaps", "nb", "chunk", "dev_over_fs", "want_afc", "interpret"))
+def fused_dualtone_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, *,
+                            ntaps: int, nb: int, chunk: int,
+                            dev_over_fs: float, want_afc: bool = False,
+                            interpret: bool = False):
+    """Fused dual-tone noncoherent FSK front end.
+
+    iq planes [C, n] float32 (post-DDC); tails [C, HALO] raw input carry;
+    chan_taps [1, ntaps]. ``nb`` is the one-chip boxcar width
+    (round(sps)); ``dev_over_fs`` = spec.dev / fs_proc (must make
+    dev*n/fs integer — the pipeline gates this). Returns
+    (metric [C, n], new_tail_i, new_tail_q, dc [C], rot_re [C],
+    rot_im [C]): the RAW envelope metric (caller applies mean- or
+    midpoint-DC), its block mean partials resolved to dc, and the AFC
+    envelope-rotation sums (zeros unless want_afc).
+    """
+    c, n = iq_i.shape
+    assert chunk % HALO == 0, chunk
+    assert nb + ntaps - 1 <= HALO, (nb, ntaps)
+
+    tc = 8
+    for cand in (64, 32, 16):
+        if c % cand == 0 and cand * chunk * _VMEM_PER_ELEM <= _VMEM_BUDGET:
+            tc = cand
+            break
+    assert c % tc == 0, c
+
+    new_tail_i, new_tail_q = iq_i[:, -HALO:], iq_q[:, -HALO:]
+    n_valid = n
+    pad = -n % chunk
+    if pad:
+        iq_i = jnp.pad(iq_i, ((0, 0), (0, pad)))
+        iq_q = jnp.pad(iq_q, ((0, 0), (0, pad)))
+        n = n + pad
+    valid = n_valid if pad else None
+    nchunks = n // chunk
+    hblk = chunk // HALO
+
+    # host-side f64 mixer tables, one [HALO + chunk] window per chunk.
+    # Positions are signed sample indices relative to block start; the
+    # table is periodic with n_valid (dev * n_valid / fs integer), so
+    # negative (halo) positions wrap to the end of the block — exactly the
+    # phase the previous block's tail samples carry.
+    pos = np.arange(-HALO, chunk, dtype=np.int64)
+    wins = []
+    for jc in range(nchunks):
+        p = (jc * chunk + pos) % n_valid
+        frac = np.mod(p.astype(np.float64) * float(dev_over_fs), 1.0)
+        wins.append(frac)
+    frac_all = np.concatenate(wins)
+    tab_cos = jnp.asarray(np.cos(2.0 * np.pi * frac_all),
+                          jnp.float32)[None, :]
+    tab_sin = jnp.asarray(np.sin(2.0 * np.pi * frac_all),
+                          jnp.float32)[None, :]
+
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=_VMEM_LIMIT)
+    wlen = HALO + chunk
+    metric, sums, rot_re, rot_im = pl.pallas_call(
+        functools.partial(_dualtone_kernel, ntaps=ntaps, nb=nb,
+                          valid=valid, want_afc=want_afc),
+        grid=(c // tc, nchunks),
+        in_specs=[
+            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, HALO),
+                         lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
+            pl.BlockSpec((tc, HALO),
+                         lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
+            pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
+            pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, wlen), lambda i, j: (0, j)),
+            pl.BlockSpec((1, wlen), lambda i, j: (0, j)),
+            pl.BlockSpec((1, ntaps), lambda i, j: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, SUMW), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, SUMW), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, SUMW), lambda i, j: (i, j)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, n), jnp.float32),
+            jax.ShapeDtypeStruct((c, nchunks * SUMW), jnp.float32),
+            jax.ShapeDtypeStruct((c, nchunks * SUMW), jnp.float32),
+            jax.ShapeDtypeStruct((c, nchunks * SUMW), jnp.float32),
+        ),
+        compiler_params=params,
+        interpret=interpret,
+    )(iq_i, iq_q, iq_i, iq_q, tail_i, tail_q, tab_cos, tab_sin, chan_taps)
+
+    if pad:
+        metric = metric[:, :n_valid]
+    dc = jnp.sum(sums.reshape(c, nchunks, SUMW)[:, :, 0], axis=-1) / n_valid
+    rre = jnp.sum(rot_re.reshape(c, nchunks, SUMW)[:, :, 0], axis=-1)
+    rim = jnp.sum(rot_im.reshape(c, nchunks, SUMW)[:, :, 0], axis=-1)
+    return metric, new_tail_i, new_tail_q, dc, rre, rim

@@ -62,8 +62,10 @@ class FleetSession:
             group_cdt = ("f32" if spec.modulation == "afsk" or use_pallas
                          else compute_dtype)
             # afc applies per group (AFSK included: the discriminator-DC
-            # loop tracks carrier offset for tone pairs too — pipeline.py)
-            group_afc = afc and not use_pallas
+            # loop tracks carrier offset for tone pairs too — pipeline.py);
+            # since r5 it also coexists with the fused Pallas kernels
+            # (they export the DC / rotation sums the loop feeds on)
+            group_afc = afc
             cfg = PipelineConfig(sonde=sonde, channels=len(idxs),
                                  fs=fs_chan, block_len=block_len,
                                  sync_threshold=sync_threshold,

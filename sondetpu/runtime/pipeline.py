@@ -86,9 +86,9 @@ class PipelineConfig:
         if self.compute_dtype == "bf16" and (
                 spec.modulation == "afsk" or self.use_pallas):
             raise ValueError("bf16 compute supports the jnp GFSK/FSK path only")
-        if self.afc and self.use_pallas:
-            raise ValueError("afc needs the jnp front end (the Pallas "
-                             "kernel does not export the discriminator DC)")
+        # afc + use_pallas COEXIST since r5: the fused kernels export the
+        # discriminator DC (NRZ) / envelope-rotation sums (dual-tone) the
+        # AFC loop feeds on
         # AFSK families track carrier drift with the SAME discriminator-DC
         # loop: the Bell-202 audio is a pair of (near) zero-mean tones, so
         # the block mean of the discriminator output measures carrier
@@ -366,6 +366,18 @@ class Pipeline:
                         # midpoint slicer (unwhitened-NRZ families) must
                         # not silently degrade to the biased mean
                         and spec.extra.get("dc_mode") != "midpoint")
+        # fused dual-tone kernel (chanfilt + +/-dev mix + one-chip boxcar +
+        # envelope in one VMEM pass) for the noncoherent-FSK families
+        # (m10/ims100/mrzn1 — exactly the families the r4 Pallas path
+        # excluded); midpoint-DC runs in XLA on the kernel's metric output
+        # (identical to the jnp path's quantile over audio), AFC from the
+        # kernel's exported envelope-rotation sums
+        self._pallas_dualtone = (bool(c.use_pallas) and self._dualtone
+                                 and c.channels % 8 == 0
+                                 and self._fe_chunk is not None
+                                 and c.decim == 1
+                                 and max(2, round(c.sps)) + c.ntaps - 1
+                                 <= HALO)
         # compiled Pallas needs a TPU; CPU (unit tests) runs interpret mode
         self._pallas_interpret = jax.default_backend() == "cpu"
         donate = () if c.profile_stop else (0,)
@@ -389,10 +401,11 @@ class Pipeline:
                   if c.fine_offsets is not None
                   else np.zeros((c.channels,), np.float32))
             aux = aux + (f0.copy(),)   # DDC freq (Hz), AFC-tracked
-        # the Pallas front end carries HALO raw input samples per plane in
-        # the chan_tail fields (it recomputes the filter/demod history from
-        # them); the jnp path carries ntaps-1 filtered-input samples
-        tail_w = self._fe_halo if self._pallas else c.ntaps - 1
+        # the Pallas front ends carry HALO raw input samples per plane in
+        # the chan_tail fields (they recompute the filter/demod history
+        # from them); the jnp path carries ntaps-1 filtered-input samples
+        tail_w = (self._fe_halo if (self._pallas or self._pallas_dualtone)
+                  else c.ntaps - 1)
         # sample-rate carries live in the compute dtype (bf16 halves their
         # HBM traffic; all reductions stay f32 — see compute_dtype)
         import ml_dtypes
@@ -510,6 +523,25 @@ class Pipeline:
         pos = start[:, None] + k[None, :] * sps
         return _linear_interp(filt, pos)
 
+    def _afc_update(self, freq_hz, dc):
+        """First-order AFC loop update -> 1-tuple for the aux tail.
+
+        ``dc`` is the residual-offset discriminant in audio/dev units
+        (discriminator DC, or the dual-tone envelope-rotation angle). The
+        clamp bounds the drift EXCURSION relative to each channel's SEED
+        frequency, not the absolute DDC frequency: seeds come from
+        bin_and_offset and are legitimately far beyond bandwidth/2."""
+        c = self.config
+        maxhz = np.float32(c.afc_max_hz if c.afc_max_hz is not None
+                           else c.spec.bandwidth / 2.0)
+        f_seed = jnp.asarray(
+            np.asarray(c.fine_offsets, np.float32)
+            if c.fine_offsets is not None
+            else np.zeros((c.channels,), np.float32))
+        return (f_seed + jnp.clip(
+            freq_hz + np.float32(c.afc_beta) * dc * np.float32(self._dev)
+            - f_seed, -maxhz, maxhz),)
+
     def _step_impl(self, state: PipelineState, iq_i: jax.Array, iq_q: jax.Array):
         c = self.config
         cdt = jnp.bfloat16 if c.compute_dtype == "bf16" else jnp.float32
@@ -558,7 +590,7 @@ class Pipeline:
             # carry is the raw HALO-sample input tail per plane
             from sondetpu.pallas.frontend import fused_frontend
 
-            filt, new_ctail_i, new_ctail_q = fused_frontend(
+            filt, new_ctail_i, new_ctail_q, dc = fused_frontend(
                 iq_i, iq_q, state.chan_tail_i, state.chan_tail_q,
                 self._chan_taps[None, :].astype(np.float32),
                 self._taps[None, :].astype(np.float32),
@@ -566,6 +598,47 @@ class Pipeline:
                 ntaps=c.ntaps, decim=c.decim, chunk=self._fe_chunk,
                 dc_block=c.dc_block, interpret=self._pallas_interpret)
             n = filt.shape[-1]             # processing length from here on
+            fm_state = state.fm_prev       # unused on this path
+            fir_state = state.fir
+            aux_state = ()
+            if c.afc:
+                # the kernel exports the block-mean audio — exactly the
+                # discriminator DC the loop feeds on
+                afc_freq = self._afc_update(freq_hz, dc)
+            if c.profile_stop == "chanfilt":   # fused: chanfilt==demod here
+                return jnp.sum(filt)
+        elif self._pallas_dualtone:
+            # fused dual-tone noncoherent front end: chanfilt + +/-dev mix
+            # + one-chip boxcar + envelope metric in ONE Pallas pass;
+            # mean-DC from the kernel's exported sums, midpoint-DC in XLA
+            # on the metric (identical to the jnp path's quantile over
+            # audio), AFC from the kernel's envelope-rotation sums
+            from sondetpu.pallas.frontend import fused_dualtone_frontend
+
+            nb = max(2, int(round(sps)))
+            audio, new_ctail_i, new_ctail_q, dc_mean, rot_re, rot_im = \
+                fused_dualtone_frontend(
+                    iq_i, iq_q, state.chan_tail_i, state.chan_tail_q,
+                    self._chan_taps[None, :].astype(np.float32),
+                    ntaps=c.ntaps, nb=nb, chunk=self._fe_chunk,
+                    dev_over_fs=float(self._dev) / float(c.fs_proc),
+                    want_afc=bool(c.afc),
+                    interpret=self._pallas_interpret)
+            n = audio.shape[-1]
+            if c.spec.extra.get("dc_mode") == "midpoint":
+                lo = jnp.quantile(audio, 0.10, axis=-1)
+                hi = jnp.quantile(audio, 0.90, axis=-1)
+                dc = 0.5 * (lo + hi)
+            else:
+                dc = dc_mean
+            if c.dc_block:
+                audio = audio - dc[:, None]
+            if c.afc:
+                ang = jnp.arctan2(rot_im, rot_re)
+                afc_freq = self._afc_update(
+                    freq_hz,
+                    ang * np.float32(c.fs_proc / (2.0 * np.pi * self._dev)))
+            filt = audio           # the boxcar IS the matched filter
             fm_state = state.fm_prev       # unused on this path
             fir_state = state.fir
             aux_state = ()
@@ -694,23 +767,11 @@ class Pipeline:
             if c.dc_block:
                 audio = audio - dc[:, None]
             if c.afc:
-                # discriminator DC of 1.0 == spec.dev Hz of residual carrier
-                # offset (scale above); first-order loop. The clamp bounds
-                # the DRIFT EXCURSION relative to each channel's SEED
-                # frequency, not the absolute DDC frequency: seeds come from
-                # bin_and_offset and are legitimately far beyond
-                # bandwidth/2, and clamping absolutely would yank any
-                # off-grid channel to +/-maxhz on the first block.
-                maxhz = np.float32(c.afc_max_hz if c.afc_max_hz is not None
-                                   else c.spec.bandwidth / 2.0)
-                f_seed = jnp.asarray(
-                    np.asarray(c.fine_offsets, np.float32)
-                    if c.fine_offsets is not None
-                    else np.zeros((c.channels,), np.float32))
-                afc_freq = (f_seed + jnp.clip(
-                    freq_hz + np.float32(c.afc_beta)
-                    * (afc_dc if afc_dc is not None else dc)
-                    * np.float32(self._dev) - f_seed, -maxhz, maxhz),)
+                # discriminator DC of 1.0 == spec.dev Hz of residual
+                # carrier offset (scale above); first-order loop
+                # (_afc_update)
+                afc_freq = self._afc_update(
+                    freq_hz, afc_dc if afc_dc is not None else dc)
 
             if self._afsk:
                 # AFSK front end: dual-tone quadrature discriminator (S5/S6)
