@@ -597,3 +597,127 @@ def fused_dualtone_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, *,
     rre = jnp.sum(rot_re.reshape(c, nchunks, SUMW)[:, :, 0], axis=-1)
     rim = jnp.sum(rot_im.reshape(c, nchunks, SUMW)[:, :, 0], axis=-1)
     return metric, new_tail_i, new_tail_q, dc, rre, rim
+
+# ---------------------------------------------------------------------------
+# AFSK tone-discriminator kernel (iMet-4 / SRS-C50), stage 2 of the fused
+# AFSK front end
+# ---------------------------------------------------------------------------
+#
+# The AFSK chain is chanfilt -> FM discriminator -> DC block -> dual-TONE
+# discriminator on the AUDIO (mix by mark/space, one-symbol boxcar,
+# normalized envelope difference; runtime/pipeline.py _afsk_frontend). The
+# DC block needs the whole-block audio mean BEFORE the tone mix (the space
+# tone's non-integer cycles/symbol leak a DC offset into its envelope), so
+# the fused path runs TWO kernels inside one jit: fused_frontend with an
+# identity matched filter produces the dc-subtracted audio (+ the mean for
+# AFC), and this kernel fuses mix + boxcar + envelope — the stages whose
+# jnp form round-trips four [C, n] mixed planes and four filtered planes
+# through HBM.
+#
+# Mark/space LO tables are host-built f64 like the dual-tone mixer tables;
+# the pipeline gates this path on block_len % L == 0 (L = the tones' joint
+# period), which makes the carried LO phase identically zero and the
+# tables periodic with the block (both imet4 (L=240) and c50 (L=20) pass
+# at the standard 48 kHz block).
+
+
+def _afsk_kernel(body, halo, tail, tab_mc, tab_msn, tab_sc, tab_ssn,
+                 soft_ref, *, win: int):
+    j = pl.program_id(1)
+    ck = body.shape[-1]
+    cp = ck + win - 1           # audio positions [-(win-1), ck)
+
+    h = jnp.where(j == 0, tail[:], halo[:])
+    xw = jnp.concatenate([h, body[:]], axis=-1)        # positions [-HALO, ck)
+    a = xw[:, HALO - (win - 1):]                       # [TC, cp]
+
+    def box(p):
+        acc = jnp.zeros((p.shape[0], ck), jnp.float32)
+        for v in range(win):
+            o = win - 1 - v
+            acc = acc + p[:, o: o + ck]
+        return acc * (1.0 / win)
+
+    energies = []
+    for tc_, ts_ in ((tab_mc, tab_msn), (tab_sc, tab_ssn)):
+        cv = tc_[:, HALO - (win - 1):]
+        sv = ts_[:, HALO - (win - 1):]
+        fi = box(a * cv)
+        fq = box(a * sv)
+        energies.append(fi * fi + fq * fq)
+    em, es = energies
+    soft_ref[:] = (em - es) / (em + es + 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "win", "chunk", "fmark_over_fs", "fspace_over_fs", "interpret"))
+def fused_afsk_frontend(audio, atail, *, win: int, chunk: int,
+                        fmark_over_fs: float, fspace_over_fs: float,
+                        interpret: bool = False):
+    """Fused AFSK tone discriminator: dc-subtracted audio [C, n] ->
+    (soft chips [C, n], new audio tail [C, HALO]).
+
+    ``atail`` is the previous block's last HALO audio samples (dc-removed
+    with THAT block's mean — the same values the jnp path's carried
+    tone-filter tails were computed from). The LO tables assume zero
+    carried phase: the caller gates on block_len % L == 0.
+    """
+    c, n = audio.shape
+    assert chunk % HALO == 0, chunk
+    assert win - 1 <= HALO, win
+
+    tc = 8
+    for cand in (64, 32, 16):
+        if c % cand == 0 and cand * chunk * _VMEM_PER_ELEM <= _VMEM_BUDGET:
+            tc = cand
+            break
+    assert c % tc == 0, c
+
+    new_atail = audio[:, -HALO:]
+    n_valid = n
+    pad = -n % chunk
+    if pad:
+        audio = jnp.pad(audio, ((0, 0), (0, pad)))
+        n = n + pad
+    nchunks = n // chunk
+    hblk = chunk // HALO
+
+    pos = np.arange(-HALO, chunk, dtype=np.int64)
+    tabs = []
+    for fof in (fmark_over_fs, fspace_over_fs):
+        wins_c, wins_s = [], []
+        for jc in range(nchunks):
+            p = (jc * chunk + pos) % n_valid
+            frac = np.mod(p.astype(np.float64) * float(fof), 1.0)
+            wins_c.append(np.cos(2.0 * np.pi * frac))
+            wins_s.append(np.sin(2.0 * np.pi * frac))
+        tabs.append(jnp.asarray(np.concatenate(wins_c), jnp.float32)[None, :])
+        tabs.append(jnp.asarray(np.concatenate(wins_s), jnp.float32)[None, :])
+    tab_mc, tab_msn, tab_sc, tab_ssn = tabs
+
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=_VMEM_LIMIT)
+    wlen = HALO + chunk
+    soft = pl.pallas_call(
+        functools.partial(_afsk_kernel, win=win),
+        grid=(c // tc, nchunks),
+        in_specs=[
+            pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+            pl.BlockSpec((tc, HALO),
+                         lambda i, j: (i, jnp.maximum(j * hblk - 1, 0))),
+            pl.BlockSpec((tc, HALO), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, wlen), lambda i, j: (0, j)),
+            pl.BlockSpec((1, wlen), lambda i, j: (0, j)),
+            pl.BlockSpec((1, wlen), lambda i, j: (0, j)),
+            pl.BlockSpec((1, wlen), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((c, n), jnp.float32),
+        compiler_params=params,
+        interpret=interpret,
+    )(audio, audio, atail, tab_mc, tab_msn, tab_sc, tab_ssn)
+
+    if pad:
+        soft = soft[:, :n_valid]
+    return soft, new_atail

@@ -350,6 +350,16 @@ class Pipeline:
                 f"discriminator (worse low-SNR FER)", stacklevel=3)
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
+            # joint LO period of the mark/space tones (samples): when it
+            # divides the block, the carried LO phase is identically zero
+            # and the tone tables are block-periodic — the gate for the
+            # fused AFSK kernel below
+            from fractions import Fraction
+            self._afsk_L = int(np.lcm(
+                Fraction(spec.afsk_mark / c.fs).limit_denominator(1 << 20)
+                .denominator,
+                Fraction(spec.afsk_space / c.fs).limit_denominator(1 << 20)
+                .denominator))
         # fused Pallas front end (chanfilt+decimate+demod+matched FIR in one
         # VMEM pass): blocks that aren't a chunk multiple are padded in XLA
         # and trimmed inside fused_frontend, so any block_len >= HALO keeps
@@ -378,6 +388,16 @@ class Pipeline:
                                  and c.decim == 1
                                  and max(2, round(c.sps)) + c.ntaps - 1
                                  <= HALO)
+        # fused AFSK path (imet4/c50): stage 1 = fused_frontend with an
+        # identity matched filter (chanfilt + FM demod + DC), stage 2 =
+        # the mix/boxcar/envelope tone kernel. Gated on the LO phase being
+        # block-periodic so the tone tables are host constants.
+        self._pallas_afsk = (bool(c.use_pallas) and self._afsk
+                             and c.channels % 8 == 0
+                             and self._fe_chunk is not None
+                             and 2 * c.ntaps - 1 <= HALO
+                             and self._afsk_win - 1 <= HALO
+                             and c.block_len % self._afsk_L == 0)
         # compiled Pallas needs a TPU; CPU (unit tests) runs interpret mode
         self._pallas_interpret = jax.default_backend() == "cpu"
         donate = () if c.profile_stop else (0,)
@@ -391,9 +411,16 @@ class Pipeline:
         c = self.config
         aux = ()
         if self._afsk:
-            w = self._afsk_win - 1
-            aux = tuple(np.zeros((c.channels, w), np.float32) for _ in range(4)) \
-                + (np.zeros((1,), np.int32),)
+            if self._pallas_afsk:
+                # the fused AFSK path carries the previous block's last
+                # HALO dc-subtracted audio samples (the kernel recomputes
+                # the mixed-tone history from them)
+                aux = (np.zeros((c.channels, self._fe_halo), np.float32),)
+            else:
+                w = self._afsk_win - 1
+                aux = tuple(np.zeros((c.channels, w), np.float32)
+                            for _ in range(4)) \
+                    + (np.zeros((1,), np.int32),)
         if c.fine_offsets is not None or c.afc:
             aux = aux + (np.zeros((c.channels,), np.float32),)   # DDC phase
         if c.afc:
@@ -404,7 +431,9 @@ class Pipeline:
         # the Pallas front ends carry HALO raw input samples per plane in
         # the chan_tail fields (they recompute the filter/demod history
         # from them); the jnp path carries ntaps-1 filtered-input samples
-        tail_w = (self._fe_halo if (self._pallas or self._pallas_dualtone)
+        tail_w = (self._fe_halo
+                  if (self._pallas or self._pallas_dualtone
+                      or self._pallas_afsk)
                   else c.ntaps - 1)
         # sample-rate carries live in the compute dtype (bf16 halves their
         # HBM traffic; all reductions stay f32 — see compute_dtype)
@@ -644,6 +673,37 @@ class Pipeline:
             aux_state = ()
             if c.profile_stop == "chanfilt":   # fused: chanfilt==demod here
                 return jnp.sum(filt)
+        elif self._pallas_afsk:
+            # fused AFSK front end, two kernels in one program: stage 1 =
+            # fused_frontend with an IDENTITY matched filter -> the
+            # dc-subtracted discriminator audio (+ its mean for AFC);
+            # stage 2 = mark/space mix + one-symbol boxcar + normalized
+            # envelope difference (the jnp _afsk_frontend's HBM-heavy part)
+            from sondetpu.pallas.frontend import (fused_afsk_frontend,
+                                                  fused_frontend)
+
+            delta = np.zeros(c.ntaps, np.float32)
+            delta[-1] = 1.0
+            audio, new_ctail_i, new_ctail_q, dc = fused_frontend(
+                iq_i, iq_q, state.chan_tail_i, state.chan_tail_q,
+                self._chan_taps[None, :].astype(np.float32),
+                delta[None, :], jnp.asarray([[scale]], jnp.float32),
+                ntaps=c.ntaps, decim=1, chunk=self._fe_chunk,
+                dc_block=c.dc_block, interpret=self._pallas_interpret)
+            if c.afc:
+                afc_freq = self._afc_update(freq_hz, dc)
+            if c.profile_stop == "chanfilt":
+                return jnp.sum(audio)
+            filt, new_atail = fused_afsk_frontend(
+                audio, state.aux[0], win=self._afsk_win,
+                chunk=self._fe_chunk,
+                fmark_over_fs=float(c.spec.afsk_mark) / float(c.fs),
+                fspace_over_fs=float(c.spec.afsk_space) / float(c.fs),
+                interpret=self._pallas_interpret)
+            n = filt.shape[-1]
+            fm_state = state.fm_prev       # unused on this path
+            fir_state = state.fir
+            aux_state = (new_atail,)
         else:
             # pre-demod channel filter (reference VFO bandwidth,
             # main.cpp:55-57); for narrowband types the strided conv also
