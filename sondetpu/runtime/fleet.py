@@ -39,25 +39,44 @@ class FleetSession:
 
     def __init__(self, channels: Sequence[FleetChannel], n_bins: int,
                  fs_chan: float = 48000.0, block_len: int = 48000,
-                 sync_threshold: float = 0.55, use_pallas: bool = False,
+                 sync_threshold: float = 0.55, use_pallas: bool = None,
                  on_update=None, mesh=None, compute_dtype: str = "f32",
                  afc: bool = False, pipelined: bool = False,
                  fused: bool = None):
+        import jax as _jax
+        import jax.numpy as _jnp
         self.channels = list(channels)
         self.pfb = PFBChannelizer(n_bins)
         self.pfb_state = self.pfb.init_state()
         self.block_len = block_len
         self.n_bins = n_bins
         self.fs_chan = fs_chan
+        # use_pallas defaults to the backend: every family has a fused
+        # kernel path since r5, so a real TPU engages them; CPU (tests,
+        # dev) keeps the XLA twins unless interpret-mode kernels are
+        # explicitly requested with use_pallas=True
+        if use_pallas is None:
+            use_pallas = _jax.default_backend() in ("tpu", "axon")
+        self.use_pallas = bool(use_pallas)
 
         # group logical channels by sonde type; remember their PFB bins
         groups: Dict[str, List[int]] = {}
         for idx, ch in enumerate(self.channels):
             groups.setdefault(ch.sonde, []).append(idx)
         self.groups: Dict[str, Tuple[List[int], DecoderSession]] = {}
+        self._group_pad: Dict[str, int] = {}
         for sonde, idxs in groups.items():
             offs = tuple(self.channels[i].offset_hz for i in idxs)
             spec = get_sonde(sonde)["spec"]
+            # kernel channel tiles need the group size to divide by 8; a
+            # real fleet's mix is arbitrary, so PAD the group with dummy
+            # channels (duplicates of its first bin) rather than silently
+            # dropping the whole group to the jnp path. Dummy rows decode
+            # garbage that is discarded by the local-index guards in
+            # _wrap/telemetry; their cost is <= 7 channels per group.
+            pad = (-len(idxs)) % 8 if use_pallas else 0
+            self._group_pad[sonde] = pad
+            offs_p = offs + (0.0,) * pad
             # bf16 applies per group: AFSK groups fall back to f32
             group_cdt = ("f32" if spec.modulation == "afsk" or use_pallas
                          else compute_dtype)
@@ -66,13 +85,13 @@ class FleetSession:
             # since r5 it also coexists with the fused Pallas kernels
             # (they export the DC / rotation sums the loop feeds on)
             group_afc = afc
-            cfg = PipelineConfig(sonde=sonde, channels=len(idxs),
+            cfg = PipelineConfig(sonde=sonde, channels=len(idxs) + pad,
                                  fs=fs_chan, block_len=block_len,
                                  sync_threshold=sync_threshold,
                                  use_pallas=use_pallas,
                                  compute_dtype=group_cdt,
                                  afc=group_afc,
-                                 fine_offsets=offs if any(offs) else None)
+                                 fine_offsets=offs_p if any(offs_p) else None)
             # shard a group over the mesh when its channel count divides the
             # mesh size; smaller groups stay single-device (heterogeneous
             # fleets mix both, BASELINE.json:11)
@@ -87,12 +106,9 @@ class FleetSession:
         # per-group device-side bin gathers: the channelized planes never
         # round-trip through the host (the PFB output stays device-resident
         # and each group takes its rows with a baked-constant jnp.take)
-        import jax as _jax
-        import jax.numpy as _jnp
         self._gathers = {}
         for sonde, (idxs, _sess) in self.groups.items():
-            bins = np.asarray([self.channels[i].pfb_bin for i in idxs],
-                              np.int32)
+            bins = self._group_bins(sonde, idxs)
 
             def take(yi, yq, _b=bins):
                 k = _jnp.asarray(_b)
@@ -118,9 +134,8 @@ class FleetSession:
         if self._fused:
             self._order = []                      # [(sonde, bins, sess)]
             for sonde, (idxs, sess) in self.groups.items():
-                bins = np.asarray([self.channels[i].pfb_bin for i in idxs],
-                                  np.int32)
-                self._order.append((sonde, bins, sess))
+                self._order.append((sonde, self._group_bins(sonde, idxs),
+                                    sess))
             pfb = self.pfb
 
             def fused_impl(pfb_state, states, wi, wq):
@@ -145,12 +160,20 @@ class FleetSession:
             self._fused_step = _jax.jit(fused_impl, donate_argnums=(0, 1))
             self._states = tuple(sess.state for _, _, sess in self._order)
 
+    def _group_bins(self, sonde: str, idxs: List[int]) -> np.ndarray:
+        """PFB bin indices a group gathers, padded with duplicates of its
+        first bin for the dummy kernel-tile channels (_group_pad)."""
+        bins = [self.channels[i].pfb_bin for i in idxs]
+        bins += [bins[0]] * self._group_pad.get(sonde, 0)
+        return np.asarray(bins, np.int32)
+
     def _wrap(self, sonde: str, idxs: List[int], on_update):
         if on_update is None:
             return None
 
         def inner(local_ch: int, telem: SondeTelemetry):
-            on_update(idxs[local_ch], sonde, telem)
+            if local_ch < len(idxs):       # dummy pad channels are dropped
+                on_update(idxs[local_ch], sonde, telem)
 
         return inner
 
@@ -160,7 +183,8 @@ class FleetSession:
         out = {}
         for sonde, (idxs, sess) in self.groups.items():
             for local, t in sess.telemetry.items():
-                out[idxs[local]] = t
+                if local < len(idxs):      # dummy pad channels are dropped
+                    out[idxs[local]] = t
         return out
 
     def flush(self) -> int:
