@@ -59,8 +59,15 @@ def bench_fleet():
     for c in chans:
         counts[c.sonde] = counts.get(c.sonde, 0) + 1
 
+    # SONDETPU_PALLAS unset -> the measured per-family auto policy
+    # (dual-tone groups take the fused kernel, NRZ/AFSK stay jnp);
+    # 0/1 force it fleet-wide off/on
+    up_env = os.environ.get("SONDETPU_PALLAS")
+    use_pallas = None if up_env is None else bool(int(up_env))
+    cdt = "bf16" if int(os.environ.get("SONDETPU_BF16", "1")) else "f32"
     fleet = FleetSession(chans, n_bins=n_bins, fs_chan=fs_chan,
-                         block_len=block_len, pipelined=True)
+                         block_len=block_len, pipelined=True,
+                         use_pallas=use_pallas, compute_dtype=cdt)
 
     # wideband block: noise + one real RS41 carrier (zero-order-hold
     # upsampled into bin 1) so the datapath sees a representative signal
@@ -99,6 +106,8 @@ def bench_fleet():
         "vs_baseline": round(rt_channels / 62.5, 3),
         "detail": {
             "n_bins": n_bins,
+            "use_pallas": "auto-dualtone" if use_pallas is None else use_pallas,
+            "compute_dtype": cdt,
             "mix": counts,
             "wideband_msamples_per_sec": round(w / dt / 1e6, 1),
             "step_ms": round(dt * 1e3, 3),
@@ -125,7 +134,9 @@ def main():
     fs = 48000.0                     # RTT-dominated dispatch + readback
 
     use_pallas = bool(int(os.environ.get("SONDETPU_PALLAS", "0")))
-    cdt = "bf16" if int(os.environ.get("SONDETPU_BF16", "0")) else "f32"
+    # bf16 sample storage is the measured-fastest verified config on the
+    # v5e (r5: 65.9 ms vs 68.3 f32 vs 174.6 pallas at 2048 ch) — default on
+    cdt = "bf16" if int(os.environ.get("SONDETPU_BF16", "1")) else "f32"
     cfg = PipelineConfig(sonde="rs41", channels=channels, block_len=block_len,
                          use_pallas=use_pallas, compute_dtype=cdt)
     pipe = Pipeline(cfg)

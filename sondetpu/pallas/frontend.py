@@ -666,9 +666,14 @@ def fused_afsk_frontend(audio, atail, *, win: int, chunk: int,
     assert chunk % HALO == 0, chunk
     assert win - 1 <= HALO, win
 
+    # the win-tap unrolled boxcars (x4: two tones x I/Q) dominate this
+    # kernel's Mosaic stack — measured ~1 KB per (channel, sample) at
+    # win=40 (65 MB at tc=64, chunk=1024: scoped-vmem OOM on v5e), so the
+    # per-element budget term scales with win
+    per_elem = _VMEM_PER_ELEM + 16 * win
     tc = 8
     for cand in (64, 32, 16):
-        if c % cand == 0 and cand * chunk * _VMEM_PER_ELEM <= _VMEM_BUDGET:
+        if c % cand == 0 and cand * chunk * per_elem <= _VMEM_BUDGET:
             tc = cand
             break
     assert c % tc == 0, c

@@ -26,7 +26,10 @@ def test_fer_waterfall_gfsk(sonde):
     """Knee (10 dB) and floor (14 dB) of the GFSK waterfall."""
     res = fer_sweep(sonde, [10.0, 14.0], n_frames=N_FRAMES, seed=1)
     knee, floor = (p["fer"] for p in res["points"])
-    assert knee <= 0.25, f"{sonde}: FER {knee} at 10 dB"
+    # measured reality (FER_r04/r05): every GFSK family sits at 0.0 by
+    # 10 dB — hold the measured waterfall with margin so a silent 0.2-FER
+    # regression cannot pass CI (VERDICT r4 weak #7)
+    assert knee <= 0.05, f"{sonde}: FER {knee} at 10 dB"
     assert floor <= 0.05, f"{sonde}: FER {floor} at 14 dB"
 
 
@@ -36,7 +39,8 @@ def test_fer_waterfall_afsk(sonde):
     # waterfall sits a couple dB above the GFSK chain's
     res = fer_sweep(sonde, [12.0, 16.0], n_frames=N_FRAMES, seed=1)
     knee, floor = (p["fer"] for p in res["points"])
-    assert knee <= 0.25, f"{sonde}: FER {knee} at 12 dB"
+    # measured floors are 0.0 at 12 dB (FER_r04/r05) — hold with margin
+    assert knee <= 0.05, f"{sonde}: FER {knee} at 12 dB"
     assert floor <= 0.05, f"{sonde}: FER {floor} at 16 dB"
 
 

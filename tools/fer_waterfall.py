@@ -40,9 +40,13 @@ def main():
         "snr_definition": "total signal power over noise power in the "
                           "full 48 kHz channel (unit-amplitude FSK)",
         "fer_definition": "1 - decoded/clean_units; the denominator is the "
-                          "family's CLEAN-signal decode count (see "
-                          "per-family decode_unit), not the modulated "
-                          "frame count",
+                          "family's CLEAN-signal UNIQUE decode-unit count "
+                          "(see per-family decode_unit), and the noisy "
+                          "numerator counts only units present in the "
+                          "clean set — decoded <= denominator by "
+                          "construction (duplicate acceptances and "
+                          "corrupted-but-accepted novel content never "
+                          "inflate it)",
         "families": {},
     }
     for sonde in FAMILIES:

@@ -66,8 +66,15 @@ def main():
     for k in range(n_bins):
         sonde = "rs41" if k % 10 < 6 else ("m10" if k % 10 < 9 else "dfm")
         chans.append(FleetChannel(pfb_bin=k, sonde=sonde))
+    up_env = os.environ.get("SONDETPU_PALLAS")
+    use_pallas = None if up_env is None else bool(int(up_env))
+    cdt = "bf16" if int(os.environ.get("SONDETPU_BF16", "0")) else "f32"
+    print(f"config: use_pallas="
+          f"{'auto-dualtone' if use_pallas is None else use_pallas} "
+          f"compute_dtype={cdt}")
     fleet = FleetSession(chans, n_bins=n_bins, block_len=block_len,
-                         pipelined=True)
+                         pipelined=True, use_pallas=use_pallas,
+                         compute_dtype=cdt)
 
     rng = np.random.default_rng(0)
     wi = jax.device_put(rng.normal(size=w, scale=0.1).astype(np.float32))
