@@ -103,11 +103,13 @@ def _dft_axis_last(ui: jax.Array, uq: jax.Array, sign: float = 1.0):
     """
     n = ui.shape[-1]
     f = _largest_factor(n)
+    dt = ui.dtype          # bf16 stages halve the DFT's HBM traffic; the
+                           # matmuls still accumulate f32 on the MXU
     if n <= 64 or f is None:
         k = np.arange(n)
         ang = sign * 2.0 * np.pi * np.outer(k, k) / n
-        c = jnp.asarray(np.cos(ang), jnp.float32)
-        s = jnp.asarray(np.sin(ang), jnp.float32)
+        c = jnp.asarray(np.cos(ang), dt)
+        s = jnp.asarray(np.sin(ang), dt)
         return ui @ c - uq @ s, uq @ c + ui @ s
     n1 = f
     n2 = n // n1
@@ -119,14 +121,14 @@ def _dft_axis_last(ui: jax.Array, uq: jax.Array, sign: float = 1.0):
     k2 = np.arange(n2)
     p1 = np.arange(n1)
     ang = sign * 2.0 * np.pi * np.outer(p1, k2) / n
-    tc = jnp.asarray(np.cos(ang), jnp.float32)
-    ts_ = jnp.asarray(np.sin(ang), jnp.float32)
+    tc = jnp.asarray(np.cos(ang), dt)
+    ts_ = jnp.asarray(np.sin(ang), dt)
     ti = ai * tc - aq * ts_
     tq = aq * tc + ai * ts_
     # outer DFT_{n1} over p1 (axis -2): y[..., k1, k2]
     ang1 = sign * 2.0 * np.pi * np.outer(p1, p1) / n1
-    c1 = jnp.asarray(np.cos(ang1), jnp.float32)
-    s1 = jnp.asarray(np.sin(ang1), jnp.float32)
+    c1 = jnp.asarray(np.cos(ang1), dt)
+    s1 = jnp.asarray(np.sin(ang1), dt)
     yi = (jnp.einsum("...pk,pd->...dk", ti, c1)
           - jnp.einsum("...pk,pd->...dk", tq, s1))
     yq = (jnp.einsum("...pk,pd->...dk", tq, c1)
@@ -147,10 +149,21 @@ def bin_and_offset(center_hz: float, fs_chan: float, n_bins: int):
 
 
 class PFBChannelizer:
-    """Critically-sampled N-channel analysis filter bank."""
+    """Critically-sampled N-channel analysis filter bank.
+
+    ``dtype="bf16"`` stores the branch-FIR outputs and DFT stages in
+    bfloat16 (matmul accumulation stays f32 on the MXU): the PFB is
+    HBM-bound at fleet scale (measured 60 ms device of a 198 ms fused
+    2048-bin step), so halving its traffic is the single largest fleet
+    lever. bf16's ~0.4%/stage quantization sits ~40 dB under the channel
+    noise at any decodable SNR (decode-parity asserted in
+    tests/test_fleet.py)."""
 
     def __init__(self, n_channels: int, taps_per_phase: int = 8,
-                 cutoff_frac: float = 0.45):
+                 cutoff_frac: float = 0.45, dtype: str = "f32"):
+        if dtype not in ("f32", "bf16"):
+            raise ValueError(dtype)
+        self.dtype = dtype
         self.n = int(n_channels)
         self.tpp = int(taps_per_phase)
         L = self.n * self.tpp
@@ -205,8 +218,8 @@ class PFBChannelizer:
         on (n, tpp) + shapes, so code that constructs fresh channelizers
         per use (scan probes, AutoFleet rebuilds) does not re-trace."""
         tile = self.select_tile(x_i.shape[-1] // self.n)
-        return _pfb_jit(self.n, self.tpp, tile, jnp.asarray(self._hcol),
-                        state, x_i, x_q)
+        return _pfb_jit(self.n, self.tpp, tile, self.dtype,
+                        jnp.asarray(self._hcol), state, x_i, x_q)
 
     def _impl(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array,
               tile=None):
@@ -231,17 +244,19 @@ class PFBChannelizer:
 
         xp_i = jnp.concatenate([state.tail_i, x_i])     # [L + W]
         xp_q = jnp.concatenate([state.tail_q, x_q])
-        vv_i = xp_i.reshape(-1, n)                      # [tpp + m_out, N]
-        vv_q = xp_q.reshape(-1, n)
+        cdt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
+        vv_i = xp_i.reshape(-1, n).astype(cdt)          # [tpp + m_out, N]
+        vv_q = xp_q.reshape(-1, n).astype(cdt)
 
         if tile is not None:
             from sondetpu.pallas.pfb import pfb_fir_timemajor
-            u_i, u_q = pfb_fir_timemajor(vv_i, vv_q, self._hcol,
+            u_i, u_q = pfb_fir_timemajor(vv_i, vv_q,
+                                         jnp.asarray(self._hcol, cdt),
                                          tpp, tile[0], tile[1])
         else:
             # XLA twin: col-0 row shift + sum of tpp shifted row slices
             rows = m_out + tpp - 1
-            hcol = jnp.asarray(self._hcol)
+            hcol = jnp.asarray(self._hcol, cdt)
 
             def fir_tm(vv):
                 vvs = jnp.concatenate([vv[1:rows + 1, :1],
@@ -267,12 +282,14 @@ class PFBChannelizer:
         return new_state, y_i.T, y_q.T
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _pfb_jit(n: int, tpp: int, tile, hcol: jax.Array,
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _pfb_jit(n: int, tpp: int, tile, dtype: str, hcol: jax.Array,
              state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
     """Module-level compiled PFB step: one cache entry per
-    (n, tpp, tile, shapes) shared by every PFBChannelizer instance."""
+    (n, tpp, tile, dtype, shapes) shared by every PFBChannelizer
+    instance."""
     shell = PFBChannelizer.__new__(PFBChannelizer)
     shell.n, shell.tpp = n, tpp
     shell._hcol = hcol
+    shell.dtype = dtype
     return shell._impl(state, x_i, x_q, tile=tile)

@@ -143,6 +143,52 @@ def test_mixed_fleet_bf16_gates_afsk_groups():
     _, sess_imet4 = fleet.groups["imet4"]
     assert sess_rs41.config.compute_dtype == "bf16"
     assert sess_imet4.config.compute_dtype == "f32"
+    assert fleet.pfb.dtype == "bf16"     # the channelizer rides bf16 too
+
+
+def test_mixed_fleet_bf16_pfb_decode_parity():
+    """A bf16 fleet (bf16 PFB FIR + DFT stages, bf16 NRZ groups) decodes
+    the same telemetry as the f32 fleet on the same noisy wideband stream
+    — the acceptance evidence for the r5 bf16-PFB lever."""
+    from sondetpu.sondes.rs41 import RS41Modulator, RS41Truth
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    n_bins = 8
+    fs_wide = n_bins * 48000.0
+    rs41 = RS41Modulator()
+    bits = rs41.frames_to_bits(np.stack(
+        [rs41.build_frame(RS41Truth(frame_no=40 + i)) for i in range(3)]))
+    m10 = M10Modulator()
+    chips = m10.frames_to_chips(np.stack(
+        [m10.build_frame(M10Truth(frame_no=8 + i)) for i in range(10)]))
+
+    results = {}
+    for cdt in ("f32", "bf16"):
+        fleet = FleetSession(
+            [FleetChannel(pfb_bin=1, sonde="rs41"),
+             FleetChannel(pfb_bin=5, sonde="m10")],
+            n_bins=n_bins, compute_dtype=cdt)
+        assert fleet.pfb.dtype == cdt.replace("f32", "f32")
+        centers = fleet.pfb.center_freqs(fs_wide)
+        sig_a = _narrowband_at_wideband(bits, 4800.0, 2400.0, fs_wide,
+                                        centers[1])
+        sig_b = _narrowband_at_wideband(chips, 9600.0, 12000.0, fs_wide,
+                                        centers[5], bt=0.7)
+        w = n_bins * 48000
+        n = ((max(sig_a.size, sig_b.size) + w - 1) // w) * w
+        wide = np.zeros(n, np.complex64)
+        wide[:sig_a.size] += sig_a
+        wide[:sig_b.size] += sig_b
+        rng = np.random.default_rng(2)
+        wide += (0.02 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                 ).astype(np.complex64)
+        for i in range(0, n - w + 1, w):
+            fleet.process_wideband(wide[i:i + w])
+        results[cdt] = {ch: (t.serial, round(t.lat, 4))
+                        for ch, t in fleet.telemetry.items()}
+    assert results["bf16"] == results["f32"]
+    assert results["f32"][0][0] == "S1234567"
+    assert results["f32"][1][0] == "910-2-12345"
 
 
 def test_fleet_checkpoint_roundtrip(tmp_path):
