@@ -71,11 +71,18 @@ def fer_sweep(sonde: str, snrs_db: Sequence[float], n_frames: int = 20,
         seen = set()
         orig = sess.decoder.decode_byte_frames
 
+        def norm(v):
+            # CPython >= 3.10 hashes distinct NaN OBJECTS by identity, so
+            # a NaN-bearing key (uncalibrated temp/rh) would never match
+            # across runs — normalize non-finite to a sentinel
+            return None if (isinstance(v, float) and v != v) else v
+
         def counting(*a, **k):
             frags = orig(*a, **k)
             for ch, fr in frags:
                 seen.add((int(ch), int(fr.fields), fr.seq, fr.serial,
-                          fr.time, fr.lat, fr.lon, fr.alt, fr.temp, fr.rh))
+                          norm(fr.time), norm(fr.lat), norm(fr.lon),
+                          norm(fr.alt), norm(fr.temp), norm(fr.rh)))
             return frags
 
         sess.decoder.decode_byte_frames = counting

@@ -159,6 +159,22 @@ def main():
     print(f"{'stage':28s} {'ms':>10s}")
     for name, dt in rows:
         print(f"{name:28s} {dt * 1e3:10.2f}")
+    out_path = os.environ.get("SONDETPU_PROFILE_OUT")
+    if out_path:
+        import json
+        with open(out_path, "w") as f:
+            json.dump({
+                "what": "per-stage wall ms of the fused fleet step "
+                        "(tunnel RTT ~23-25 ms rides on every row; "
+                        "DIFFS between rows are the reliable signal)",
+                "n_bins": n_bins, "block_secs": block_secs,
+                "use_pallas": ("auto-dualtone" if use_pallas is None
+                               else use_pallas),
+                "compute_dtype": cdt,
+                "stages_ms": {name: round(dt * 1e3, 2)
+                              for name, dt in rows},
+            }, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
