@@ -417,7 +417,8 @@ def fused_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, match_taps, scale,
 def _dualtone_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
                      tab_cos, tab_sin, chan_taps,
                      metric_ref, dc_ref, rot_re_ref, rot_im_ref,
-                     *, ntaps: int, nb: int, valid, want_afc: bool):
+                     *, ntaps: int, nb: int, valid, want_afc: bool,
+                     skip_chanfilt: bool = False):
     j = pl.program_id(1)
     T = ntaps
     ck = body_i.shape[-1]
@@ -434,6 +435,11 @@ def _dualtone_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
     def chanfilt(xw):
         # cf[m] = sum_u hc[u] * x[P_m - u], P_m = j*ck + (m - nb)
         # window index of P_m: HALO + m - nb - u
+        if skip_chanfilt:
+            # wideband families (pipeline._skip_chanfilt): the guard
+            # filter is transparent — pass raw samples through at the
+            # same positions
+            return xw[:, HALO - nb: HALO - nb + cp]
         acc = jnp.zeros((xw.shape[0], cp), jnp.float32)
         for u in range(T):
             b = HALO - nb - u
@@ -499,10 +505,12 @@ def _dualtone_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ntaps", "nb", "chunk", "dev_over_fs", "want_afc", "interpret"))
+    "ntaps", "nb", "chunk", "dev_over_fs", "want_afc", "skip_chanfilt",
+    "interpret"))
 def fused_dualtone_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, *,
                             ntaps: int, nb: int, chunk: int,
                             dev_over_fs: float, want_afc: bool = False,
+                            skip_chanfilt: bool = False,
                             interpret: bool = False):
     """Fused dual-tone noncoherent FSK front end.
 
@@ -560,7 +568,8 @@ def fused_dualtone_frontend(iq_i, iq_q, tail_i, tail_q, chan_taps, *,
     wlen = HALO + chunk
     metric, sums, rot_re, rot_im = pl.pallas_call(
         functools.partial(_dualtone_kernel, ntaps=ntaps, nb=nb,
-                          valid=valid, want_afc=want_afc),
+                          valid=valid, want_afc=want_afc,
+                          skip_chanfilt=skip_chanfilt),
         grid=(c // tc, nchunks),
         in_specs=[
             pl.BlockSpec((tc, chunk), lambda i, j: (i, j)),

@@ -348,6 +348,17 @@ class Pipeline:
                 f"{c.sonde}: fsk_dualtone requested but unavailable for "
                 f"this config ({why}); falling back to the FM "
                 f"discriminator (worse low-SNR FER)", stacklevel=3)
+        # wideband FSK families (m10: 50 kHz occupied on a 48 kHz channel)
+        # get a chanfilt cutoff pinned AT the 0.45*fs_proc anti-alias
+        # guard — a near-transparent filter costing 4 T-tap convs per
+        # block (measured ~45% of the m10 dual-tone front end). The
+        # dual-tone boxcar after mixing is the real matched filter and
+        # kills everything the guard would have (mix by +/-dev then
+        # ~baud-wide lowpass), so the guard is SKIPPED for dual-tone
+        # families whose bandwidth reaches the guard cutoff. jnp and
+        # Pallas paths share the flag (parity tests hold them equal).
+        self._skip_chanfilt = (self._dualtone
+                               and spec.bandwidth / 2.0 >= 0.45 * c.fs_proc)
         if self._afsk:
             self._afsk_win = max(int(c.fs / spec.baud), 2)
             # joint LO period of the mark/space tones (samples): when it
@@ -652,6 +663,7 @@ class Pipeline:
                     ntaps=c.ntaps, nb=nb, chunk=self._fe_chunk,
                     dev_over_fs=float(self._dev) / float(c.fs_proc),
                     want_afc=bool(c.afc),
+                    skip_chanfilt=self._skip_chanfilt,
                     interpret=self._pallas_interpret)
             n = audio.shape[-1]
             if c.spec.extra.get("dc_mode") == "midpoint":
@@ -707,14 +719,21 @@ class Pipeline:
         else:
             # pre-demod channel filter (reference VFO bandwidth,
             # main.cpp:55-57); for narrowband types the strided conv also
-            # decimates (c.decim), halving every stage after it
-            xpi = jnp.concatenate([state.chan_tail_i, iq_i], axis=-1)
-            xpq = jnp.concatenate([state.chan_tail_q, iq_q], axis=-1)
-            new_ctail_i = xpi[:, -(c.ntaps - 1):]
-            new_ctail_q = xpq[:, -(c.ntaps - 1):]
-            # conv reads cdt, accumulates f32; store cdt for the demod reads
-            iq_i = _apply_windows(xpi, self._chan_taps, stride=c.decim).astype(cdt)
-            iq_q = _apply_windows(xpq, self._chan_taps, stride=c.decim).astype(cdt)
+            # decimates (c.decim), halving every stage after it. Wideband
+            # dual-tone families skip the near-transparent guard filter
+            # entirely (_skip_chanfilt): the post-mix boxcar is the real
+            # matched filter.
+            new_ctail_i = iq_i[:, -(c.ntaps - 1):]
+            new_ctail_q = iq_q[:, -(c.ntaps - 1):]
+            if not self._skip_chanfilt:
+                xpi = jnp.concatenate([state.chan_tail_i, iq_i], axis=-1)
+                xpq = jnp.concatenate([state.chan_tail_q, iq_q], axis=-1)
+                # conv reads cdt, accumulates f32; store cdt for the
+                # demod reads
+                iq_i = _apply_windows(xpi, self._chan_taps,
+                                      stride=c.decim).astype(cdt)
+                iq_q = _apply_windows(xpq, self._chan_taps,
+                                      stride=c.decim).astype(cdt)
             n = iq_i.shape[-1]             # processing length from here on
             if c.profile_stop == "chanfilt":
                 return jnp.sum(iq_i) + jnp.sum(iq_q)
@@ -979,11 +998,17 @@ class Pipeline:
                 rel = jnp.minimum(jnp.abs(soft_fr[..., 0::2]),
                                   jnp.abs(soft_fr[..., 1::2]))
                 # one top-M list per declared span (chase_spans): a short
-                # subtype's candidates stay inside its own checksum range
+                # subtype's candidates stay inside its own checksum range.
+                # approx_max_k instead of an exact top_k: the exact sort
+                # was most of the chase's device cost (~15 ms at 1024 ch),
+                # and the weak list is a heuristic candidate set — the
+                # default 0.95 recall costs at most an occasional missed
+                # candidate, re-verified by the chase's checksum pass
+                # anyway (chase-repair FER gates hold, test_sonde_families)
                 lists = []
                 for a, b in c.chase_spans:
-                    _, idx = jax.lax.top_k(-rel[..., a:b], c.chase_m)
-                    lists.append(idx + np.int32(a))
+                    _, idx = jax.lax.approx_max_k(-rel[..., a:b], c.chase_m)
+                    lists.append(idx.astype(jnp.int32) + np.int32(a))
                 weak = jnp.concatenate(lists, axis=-1)      # [C, K, S*M]
             else:
                 # hard path: gather hard chips (uint8) only (jnp.where for
