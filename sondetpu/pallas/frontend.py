@@ -429,8 +429,11 @@ def _dualtone_kernel(body_i, body_q, halo_i, halo_q, tail_i, tail_q,
 
     hi = jnp.where(j == 0, tail_i[:], halo_i[:])
     hq = jnp.where(j == 0, tail_q[:], halo_q[:])
-    xw_i = jnp.concatenate([hi, body_i[:]], axis=-1)   # [TC, HALO + ck]
-    xw_q = jnp.concatenate([hq, body_q[:]], axis=-1)
+    # inputs may arrive bf16 (bf16 fleets feed the PFB dtype straight
+    # through); all kernel arithmetic runs f32
+    xw_i = jnp.concatenate([hi, body_i[:]],
+                           axis=-1).astype(jnp.float32)  # [TC, HALO + ck]
+    xw_q = jnp.concatenate([hq, body_q[:]], axis=-1).astype(jnp.float32)
 
     def chanfilt(xw):
         # cf[m] = sum_u hc[u] * x[P_m - u], P_m = j*ck + (m - nb)

@@ -91,8 +91,12 @@ class FleetSession:
             pad = (-len(idxs)) % 8 if group_pallas else 0
             self._group_pad[sonde] = pad
             offs_p = offs + (0.0,) * pad
-            # bf16 applies per group: AFSK groups fall back to f32
-            group_cdt = ("f32" if spec.modulation == "afsk" or group_pallas
+            # bf16 applies per group: AFSK groups fall back to f32;
+            # dual-tone kernel groups RIDE bf16 (the kernel loads any
+            # dtype and computes f32 — chipbuf/corr downstream halve)
+            group_cdt = ("f32" if spec.modulation == "afsk"
+                         or (group_pallas
+                             and not spec.extra.get("fsk_dualtone"))
                          else compute_dtype)
             # afc applies per group (AFSK included: the discriminator-DC
             # loop tracks carrier offset for tone pairs too — pipeline.py);

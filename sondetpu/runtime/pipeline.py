@@ -84,8 +84,14 @@ class PipelineConfig:
             raise ValueError(f"compute_dtype {self.compute_dtype!r}")
         spec = get_sonde(self.sonde)["spec"]
         if self.compute_dtype == "bf16" and (
-                spec.modulation == "afsk" or self.use_pallas):
-            raise ValueError("bf16 compute supports the jnp GFSK/FSK path only")
+                spec.modulation == "afsk"
+                or (self.use_pallas
+                    and not spec.extra.get("fsk_dualtone"))):
+            # bf16 + Pallas coexist ONLY on the dual-tone path (its kernel
+            # loads any dtype and computes f32; chipbuf/corr downstream
+            # then ride bf16); the NRZ/AFSK kernels remain f32-only
+            raise ValueError("bf16 compute supports the jnp GFSK/FSK "
+                             "path and the dual-tone kernel path only")
         # afc + use_pallas COEXIST since r5: the fused kernels export the
         # discriminator DC (NRZ) / envelope-rotation sums (dual-tone) the
         # AFC loop feeds on

@@ -318,3 +318,39 @@ def test_fused_afsk_matches_jnp(sonde, mod_cls, truth_cls, nframes):
         np.testing.assert_array_equal(fp[vp], fj[vj])
         want_frames += int(vj.sum())
     assert want_frames > 0
+
+
+def test_fused_dualtone_bf16_storage_decode_parity():
+    """compute_dtype='bf16' + the dual-tone kernel (allowed since r5: the
+    kernel loads any dtype and computes f32; chipbuf/corr downstream ride
+    bf16): decoded frames match the f32 kernel path."""
+    from sondetpu.runtime.pipeline import PipelineConfig
+    from sondetpu.sondes.m10 import M10Modulator, M10Truth
+
+    mod = M10Modulator()
+    iq = mod.modulate([M10Truth(frame_no=20 + i) for i in range(10)])[None, :]
+    rng = np.random.default_rng(5)
+    iq = iq + (0.05 * (rng.normal(size=iq.shape)
+                       + 1j * rng.normal(size=iq.shape))).astype(np.complex64)
+    iq = np.tile(iq, (8, 1))
+
+    outs = {}
+    for cdt in ("f32", "bf16"):
+        from sondetpu.runtime.pipeline import Pipeline
+        cfg = PipelineConfig(sonde="m10", channels=8, block_len=48000,
+                             use_pallas=True, compute_dtype=cdt)
+        p = Pipeline(cfg)
+        assert p._pallas_dualtone
+        st = p.init_state()
+        res = []
+        n = iq.shape[1]
+        for i in range(0, n - 48000 + 1, 48000):
+            st, out = p.step(st, iq[:, i:i + 48000])
+            res.append((np.asarray(out.frames), np.asarray(out.frame_valid)))
+        outs[cdt] = res
+    total = 0
+    for (ff, vf), (fb, vb) in zip(outs["f32"], outs["bf16"]):
+        np.testing.assert_array_equal(vb, vf)
+        np.testing.assert_array_equal(fb[vb], ff[vf])
+        total += int(vf.sum())
+    assert total > 0
