@@ -121,11 +121,26 @@ def _apply_windows(xp: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array
 
 
 def _group_size(channels: int) -> int:
-    """Largest power-of-two divisor of ``channels`` up to 256.
+    """Feature-group split for the batched depthwise conv.
 
-    Folding channels into the conv's feature dimension (grouped depthwise
-    conv) lets XLA tile the batch onto the hardware properly — measured 3x
-    faster than feature=1 convs at 2048 channels on v5e."""
+    Folding channels into the conv's feature dimension lets XLA tile the
+    batch onto the hardware properly — measured 3x faster than feature=1
+    convs at 2048 channels on v5e. The split rule is MEASURED (v5e, 192k
+    samples, 41 taps, stride 2, bf16):
+
+    - batch rows N = channels/g of exactly 8 dominate once channels >= 512
+      (sublane-tile alignment): C=1024 g=128 6.4 ms vs g=256 (N=4) 14.6;
+      C=1280 g=160 11.3 vs g=256 (N=5) 20.7; C=640 g=80 7.5 vs g=128 (N=5)
+      12.0; C=512 g=64 7.2 vs g=128 (N=4) 9.2. g does NOT need to be a
+      power of two — the lane dim pads to 128 multiples either way.
+    - small C prefers the full-lane single-row split: C=256 g=256 4.8 ms
+      vs g=32 (N=8) 10.4.
+    - fallback (C % 8 != 0): largest power-of-two divisor up to 256.
+    """
+    if channels <= 256:
+        return channels
+    if channels % 8 == 0:
+        return channels // 8
     for g in (256, 128, 64, 32, 16, 8, 4, 2):
         if channels % g == 0:
             return g
