@@ -211,18 +211,29 @@ class PFBChannelizer:
         return ts if (ts is not None
                       and jax.default_backend() in ("tpu", "axon")) else None
 
+    def select_dft_tile(self, m_out: int):
+        """(GR, TM) for the Pallas DFT-across-branches kernel, or None when
+        the XLA mixed-radix path must run instead (same single-authority
+        rule and TPU gating as :meth:`select_tile`; the two kernels engage
+        independently)."""
+        from sondetpu.pallas.pfb import dft_tile
+        dt = dft_tile(m_out, self.n, 2 if self.dtype == "bf16" else 4)
+        return dt if (dt is not None
+                      and jax.default_backend() in ("tpu", "axon")) else None
+
     def __call__(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
         """One block: wideband planes [W] (W % N == 0) ->
         (state, y_i [N, W/N], y_q [N, W/N]). Jit-compiled; results are
         device-resident. The compiled program is cached MODULE-wide keyed
         on (n, tpp) + shapes, so code that constructs fresh channelizers
         per use (scan probes, AutoFleet rebuilds) does not re-trace."""
-        tile = self.select_tile(x_i.shape[-1] // self.n)
-        return _pfb_jit(self.n, self.tpp, tile, self.dtype,
-                        jnp.asarray(self._hcol), state, x_i, x_q)
+        m_out = x_i.shape[-1] // self.n
+        tile = self.select_tile(m_out)
+        return _pfb_jit(self.n, self.tpp, tile, self.select_dft_tile(m_out),
+                        self.dtype, jnp.asarray(self._hcol), state, x_i, x_q)
 
     def _impl(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array,
-              tile=None):
+              tile=None, dft=None):
         """Time-major polyphase step (r4 formulation, measured ~2.6x the
         grouped-conv branch FIR it replaced at N=1024, W=98M).
 
@@ -275,21 +286,52 @@ class PFBChannelizer:
             # 29 -> 212 ms full-PFB at N=1024, W=49M in the r4 experiments)
             u_i, u_q = jax.lax.optimization_barrier((u_i, u_q))
 
-        # DFT across branches (MXU, mixed-radix factorized over the LAST
-        # axis); sign=-1 + the column permutation == the +j convention
-        y_i, y_q = _dft_axis_last(u_i, u_q, sign=-1.0)
+        # DFT across branches; sign=-1 + the column permutation == the +j
+        # convention. On TPU the Pallas kernel (pallas/pfb.py:pfb_dft_perm)
+        # emits channel-PERMUTED columns; the row-take below rides the
+        # transpose copy the XLA path pays anyway, so de-permutation is
+        # free (measured: the materialized [N, m] transpose is ~1.4 ms at
+        # [192000, 2048] bf16 while the XLA mixed-radix DFT alone is 36 ms)
+        if dft is not None:
+            from sondetpu.pallas.pfb import pfb_dft_perm
+            gr, tm = dft
+            lsz = n // gr
+            wc, ws = _dft_weight_planes(self.n, gr)
+            y_i, y_q = pfb_dft_perm(u_i, u_q, jnp.asarray(wc, cdt),
+                                    jnp.asarray(ws, cdt), gr, tm)
+            # de-permutation: kernel column q = (k % gr)*L + k//gr, so the
+            # channel-major [N, m] output is ONE 3-D transpose (b, a, m) of
+            # the [m, gr, L] view — the transpose engine's job, not a
+            # gather's (a row-take here measured 12.5 ms vs 1.4 for this)
+            y_i = y_i.reshape(m_out, gr, lsz).transpose(2, 1, 0).reshape(n, m_out)
+            y_q = y_q.reshape(m_out, gr, lsz).transpose(2, 1, 0).reshape(n, m_out)
+        else:
+            y_i, y_q = _dft_axis_last(u_i, u_q, sign=-1.0)
+            y_i, y_q = y_i.T, y_q.T
         new_state = ChannelizerState(tail_i=xp_i[-L:], tail_q=xp_q[-L:])
-        return new_state, y_i.T, y_q.T
+        return new_state, y_i, y_q
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _pfb_jit(n: int, tpp: int, tile, dtype: str, hcol: jax.Array,
+_DFT_WEIGHTS = {}
+
+
+def _dft_weight_planes(n: int, gr: int):
+    """Cached numpy stage-2 weight planes for the Pallas DFT kernel."""
+    key = (n, gr)
+    if key not in _DFT_WEIGHTS:
+        from sondetpu.pallas.pfb import dft_weights
+        _DFT_WEIGHTS[key] = dft_weights(n, gr)
+    return _DFT_WEIGHTS[key]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _pfb_jit(n: int, tpp: int, tile, dft, dtype: str, hcol: jax.Array,
              state: ChannelizerState, x_i: jax.Array, x_q: jax.Array):
     """Module-level compiled PFB step: one cache entry per
-    (n, tpp, tile, dtype, shapes) shared by every PFBChannelizer
+    (n, tpp, tile, dft, dtype, shapes) shared by every PFBChannelizer
     instance."""
     shell = PFBChannelizer.__new__(PFBChannelizer)
     shell.n, shell.tpp = n, tpp
     shell._hcol = hcol
     shell.dtype = dtype
-    return shell._impl(state, x_i, x_q, tile=tile)
+    return shell._impl(state, x_i, x_q, tile=tile, dft=dft)

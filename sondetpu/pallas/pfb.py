@@ -109,3 +109,151 @@ def pfb_fir_timemajor(vv_i: jax.Array, vv_q: jax.Array, hcol: jax.Array,
         out_shape=[jax.ShapeDtypeStruct((m_out, n), vv_i.dtype)] * 2,
         interpret=interpret,
     )(hcol, vv_i, vv_i, vv_q, vv_q)
+
+
+# ---------------------------------------------------------------------------
+# DFT-across-branches kernel (the PFB's second stage), lane-aligned and
+# channel-permuted.
+#
+# The XLA mixed-radix DFT (dsp/channelizer.py:_dft_axis_last) measured
+# 36 ms at [192000, 2048] bf16 on v5e — 9x its HBM floor — because every
+# stage materializes reshaped/swapaxed intermediates and the sub-128-lane
+# matmuls pad. This kernel factors N = GR * L with L a lane-tile multiple
+# (GR=4 whenever N % 512 == 0, so the stage-1 twiddles e^{-2pi i g a / 4}
+# are all 0/+-1: pure VPU adds), keeps a [TM, N] row tile resident in VMEM,
+# and runs stage 2 as GR [TM, L] x [L, L] MXU matmuls per tile:
+#
+#   j = g*L + l,  k = a + GR*b   (g, a in [0, GR); l, b in [0, L))
+#   v_a[l]      = sum_g u[g*L + l] * e^{-2pi i g a / GR}     (VPU, 0/+-1)
+#   y[a + GR*b] = sum_l v_a[l]   * W_a[l, b],                (MXU, K = L)
+#                 W_a[l, b] = e^{-2pi i l (a + GR*b) / N}
+#
+# The output leaves CHANNEL-PERMUTED: channel k sits at column
+# q = (k % GR) * L + k // GR (each a's matmul writes its own lane-aligned
+# [TM, L] column strip). The caller absorbs the permutation into the
+# transpose/row-gather it already performs (dsp/channelizer.py), so no
+# relayout ever touches HBM — the same trick the FIR kernel plays with the
+# branch permutation and the DFT sign.
+# ---------------------------------------------------------------------------
+
+
+def dft_perm(n: int, gr: int):
+    """Column position of each channel in the kernel's permuted output:
+    perm[k] = (k % gr) * (n // gr) + k // gr."""
+    import numpy as np
+    k = np.arange(n)
+    return (k % gr) * (n // gr) + k // gr
+
+
+def dft_tile(m: int, n: int, itemsize: int = 2):
+    """(GR, TM) for the DFT kernel grid, or None when the shape doesn't
+    fit (callers fall back to the XLA mixed-radix path). GR=4 is preferred
+    (stage-1 twiddles all 0/+-1: pure adds); GR=8 quarters the stage-2
+    weight planes when GR=4's don't fit (f32 at n=2048). The budget model
+    is MEASURED, not guessed: Mosaic double-buffers the in/out blocks AND
+    the constant-index weight blocks (a 256-row bf16 tile at n=2048
+    allocated 19.24M against the 16M scoped limit), so every term below
+    carries the x2."""
+    for gr in (4, 8):
+        l = n // gr
+        if l % 128 or n % gr:
+            continue
+        for tm in (256, 192, 128, 96, 64, 32):
+            if m % tm:
+                continue
+            budget = (8 * tm * n        # in+out planes, double-buffered
+                      + 4 * n * l       # cos/sin weights, double-buffered
+                      + 2 * tm * n      # v + y live values
+                      ) * itemsize
+            if budget <= 14 * 1024 * 1024:
+                return gr, tm
+    return None
+
+
+def _dft_kernel(wc_ref, ws_ref, ui_ref, uq_ref, yi_ref, yq_ref,
+                *, gr: int, l: int, c1, s1):
+    ui = ui_ref[:]
+    uq = uq_ref[:]
+    for a in range(gr):
+        vi = None
+        vq = None
+        for g in range(gr):
+            c = float(c1[g, a])
+            s = float(s1[g, a])
+            ug_i = ui[:, g * l:(g + 1) * l]
+            ug_q = uq[:, g * l:(g + 1) * l]
+            # v = u * e^{-2pi i g a / gr} = u * (c - i s); with gr in
+            # (2, 4) every (c, s) is 0/+-1 and no multiply is emitted
+            for acc, term in (("vi", _cs_term(ug_i, c, ug_q, s)),
+                              ("vq", _cs_term(ug_q, c, ug_i, -s))):
+                if term is None:
+                    continue
+                if acc == "vi":
+                    vi = term if vi is None else vi + term
+                else:
+                    vq = term if vq is None else vq + term
+        wc = wc_ref[a * l:(a + 1) * l, :]
+        ws = ws_ref[a * l:(a + 1) * l, :]
+        yi = (jnp.dot(vi, wc, preferred_element_type=jnp.float32)
+              + jnp.dot(vq, ws, preferred_element_type=jnp.float32))
+        yq = (jnp.dot(vq, wc, preferred_element_type=jnp.float32)
+              - jnp.dot(vi, ws, preferred_element_type=jnp.float32))
+        yi_ref[:, a * l:(a + 1) * l] = yi.astype(yi_ref.dtype)
+        yq_ref[:, a * l:(a + 1) * l] = yq.astype(yq_ref.dtype)
+
+
+def _cs_term(x_c, c, x_s, s):
+    """c * x_c + s * x_s with 0/+-1 coefficients emitted as adds."""
+    def scaled(x, w):
+        if abs(w) < 1e-12:
+            return None
+        if abs(w - 1.0) < 1e-12:
+            return x
+        if abs(w + 1.0) < 1e-12:
+            return -x
+        return x * w
+    a = scaled(x_c, c)
+    b = scaled(x_s, s)
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+@functools.partial(jax.jit, static_argnames=("gr", "tm", "interpret"))
+def pfb_dft_perm(u_i: jax.Array, u_q: jax.Array, wc: jax.Array,
+                 ws: jax.Array, gr: int, tm: int, interpret: bool = False):
+    """Branch-permuted FIR planes [m, N] -> channel-PERMUTED DFT planes
+    [m, N] (channel k at column dft_perm(N, gr)[k]); wc/ws are the stacked
+    stage-2 weights [N, N//gr] from :func:`dft_weights`."""
+    import numpy as np
+    m, n = u_i.shape
+    l = n // gr
+    ga = np.arange(gr)
+    ang1 = 2.0 * np.pi * np.outer(ga, ga) / gr
+    c1, s1 = np.cos(ang1), np.sin(ang1)
+    in_spec = pl.BlockSpec((tm, n), lambda i: (i, 0))
+    w_spec = pl.BlockSpec((n, l), lambda i: (0, 0))
+    out_spec = pl.BlockSpec((tm, n), lambda i: (i, 0))
+    return pl.pallas_call(
+        functools.partial(_dft_kernel, gr=gr, l=l, c1=c1, s1=s1),
+        grid=(m // tm,),
+        in_specs=[w_spec, w_spec, in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m, n), u_i.dtype)] * 2,
+        interpret=interpret,
+    )(wc, ws, u_i, u_q)
+
+
+def dft_weights(n: int, gr: int):
+    """Stage-2 weight planes [N, L]: rows a*L + l hold
+    W_a[l, b] = e^{-2pi i l (a + gr*b) / n} (cos, sin)."""
+    import numpy as np
+    l_sz = n // gr
+    a = np.arange(gr)[:, None, None]
+    l = np.arange(l_sz)[None, :, None]
+    b = np.arange(l_sz)[None, None, :]
+    ang = 2.0 * np.pi * l * (a + gr * b) / n
+    return (np.cos(ang).reshape(n, l_sz).astype(np.float32),
+            np.sin(ang).reshape(n, l_sz).astype(np.float32))

@@ -184,8 +184,10 @@ class FleetSession:
                 # single tile-selection authority (PFBChannelizer): a
                 # duplicated copy desynced once and the fused path
                 # silently took the XLA slice-sum twin on TPU
-                tile = pfb.select_tile(wi.shape[-1] // pfb.n)
-                pfb_state, yi, yq = pfb._impl(pfb_state, wi, wq, tile=tile)
+                m_out = wi.shape[-1] // pfb.n
+                pfb_state, yi, yq = pfb._impl(
+                    pfb_state, wi, wq, tile=pfb.select_tile(m_out),
+                    dft=pfb.select_dft_tile(m_out))
                 new_states, packeds, frames = [], [], []
                 for (sonde, bins, sess), st in zip(self._order, states):
                     k = _jnp.asarray(bins)

@@ -95,3 +95,42 @@ def test_axis_last_dft_matches_axis0_with_sign_flip():
                                    atol=2e-3)
         np.testing.assert_allclose(np.asarray(got_q.T), np.asarray(ref_q),
                                    atol=2e-3)
+
+
+@pytest.mark.parametrize("n", [512, 1024, 2048])
+def test_dft_kernel_matches_xla_interpret(n):
+    """pfb_dft_perm (interpret) + the de-permuting 3-D transpose must equal
+    the XLA mixed-radix DFT at f32 tolerance."""
+    from sondetpu.pallas.pfb import pfb_dft_perm, dft_weights, dft_tile
+
+    m = 64
+    t = dft_tile(m, n, 4)
+    assert t is not None
+    gr, tm = t
+    lsz = n // gr
+    rng = np.random.default_rng(7)
+    u_i = rng.normal(size=(m, n)).astype(np.float32)
+    u_q = rng.normal(size=(m, n)).astype(np.float32)
+    wc, ws = dft_weights(n, gr)
+    yi_p, yq_p = pfb_dft_perm(jnp.asarray(u_i), jnp.asarray(u_q),
+                              jnp.asarray(wc), jnp.asarray(ws), gr, tm,
+                              interpret=True)
+    yi = np.asarray(yi_p).reshape(m, gr, lsz).transpose(2, 1, 0).reshape(n, m)
+    yq = np.asarray(yq_p).reshape(m, gr, lsz).transpose(2, 1, 0).reshape(n, m)
+    ref_i, ref_q = _dft_axis_last(jnp.asarray(u_i), jnp.asarray(u_q), -1.0)
+    scale = np.max(np.abs(np.asarray(ref_i)))
+    np.testing.assert_allclose(yi, np.asarray(ref_i).T, atol=2e-3 * scale)
+    np.testing.assert_allclose(yq, np.asarray(ref_q).T, atol=2e-3 * scale)
+
+
+def test_dft_tile_budget_and_gating():
+    from sondetpu.pallas.pfb import dft_tile
+
+    assert dft_tile(192000, 2048, 2) is not None        # bf16 fleet shape
+    gr, tm = dft_tile(192000, 2048, 2)
+    assert 192000 % tm == 0 and 2048 % gr == 0
+    # measured VMEM model: in/out AND weights double-buffer
+    assert (8 * tm * 2048 + 4 * 2048 * (2048 // gr)
+            + 2 * tm * 2048) * 2 <= 14 * 1024 * 1024
+    assert dft_tile(97, 2048, 2) is None                # rows don't tile
+    assert dft_tile(192000, 384, 2) is None             # 384/4, 384/8 not lane tiles
