@@ -233,7 +233,7 @@ class PFBChannelizer:
                         self.dtype, jnp.asarray(self._hcol), state, x_i, x_q)
 
     def _impl(self, state: ChannelizerState, x_i: jax.Array, x_q: jax.Array,
-              tile=None, dft=None):
+              tile=None, dft=None, permuted=False):
         """Time-major polyphase step (r4 formulation, measured ~2.6x the
         grouped-conv branch FIR it replaced at N=1024, W=98M).
 
@@ -297,14 +297,19 @@ class PFBChannelizer:
             gr, tm = dft
             lsz = n // gr
             wc, ws = _dft_weight_planes(self.n, gr)
+            # the kernel writes channel-major [N, m] directly (the in-tile
+            # transposes are free on v5e) with channel k at ROW
+            # (k % gr)*L + k//gr; permuted=True hands that straight to
+            # callers that bake the permutation into their row gathers
+            # (runtime/fleet.py's fused step — zero relayout cost)
             y_i, y_q = pfb_dft_perm(u_i, u_q, jnp.asarray(wc, cdt),
                                     jnp.asarray(ws, cdt), gr, tm)
-            # de-permutation: kernel column q = (k % gr)*L + k//gr, so the
-            # channel-major [N, m] output is ONE 3-D transpose (b, a, m) of
-            # the [m, gr, L] view — the transpose engine's job, not a
-            # gather's (a row-take here measured 12.5 ms vs 1.4 for this)
-            y_i = y_i.reshape(m_out, gr, lsz).transpose(2, 1, 0).reshape(n, m_out)
-            y_q = y_q.reshape(m_out, gr, lsz).transpose(2, 1, 0).reshape(n, m_out)
+            if not permuted:
+                # de-permutation is a LEADING-axes transpose of the
+                # [gr, L, m] view (minor dim untouched: a cheap block copy,
+                # unlike the 12.5 ms row-take it replaces)
+                y_i = y_i.reshape(gr, lsz, m_out).transpose(1, 0, 2).reshape(n, m_out)
+                y_q = y_q.reshape(gr, lsz, m_out).transpose(1, 0, 2).reshape(n, m_out)
         else:
             y_i, y_q = _dft_axis_last(u_i, u_q, sign=-1.0)
             y_i, y_q = y_i.T, y_q.T

@@ -185,12 +185,22 @@ class FleetSession:
                 # duplicated copy desynced once and the fused path
                 # silently took the XLA slice-sum twin on TPU
                 m_out = wi.shape[-1] // pfb.n
+                dft = pfb.select_dft_tile(m_out)
+                # permuted=True: the DFT kernel's channel-row permutation
+                # is absorbed into each group's baked bin gather below —
+                # the fleet never pays the de-permuting relayout
                 pfb_state, yi, yq = pfb._impl(
                     pfb_state, wi, wq, tile=pfb.select_tile(m_out),
-                    dft=pfb.select_dft_tile(m_out))
+                    dft=dft, permuted=True)
+                if dft is not None:
+                    from sondetpu.pallas.pfb import dft_perm
+                    row_of = dft_perm(pfb.n, dft[0])
+                else:
+                    row_of = None
                 new_states, packeds, frames = [], [], []
                 for (sonde, bins, sess), st in zip(self._order, states):
-                    k = _jnp.asarray(bins)
+                    k = _jnp.asarray(bins if row_of is None
+                                     else row_of[bins])
                     # planes flow in the PFB's dtype (bf16 on bf16
                     # fleets); each group's _step_impl casts to its own
                     # compute dtype (f32 for kernel/AFSK groups)

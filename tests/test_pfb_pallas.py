@@ -99,9 +99,12 @@ def test_axis_last_dft_matches_axis0_with_sign_flip():
 
 @pytest.mark.parametrize("n", [512, 1024, 2048])
 def test_dft_kernel_matches_xla_interpret(n):
-    """pfb_dft_perm (interpret) + the de-permuting 3-D transpose must equal
-    the XLA mixed-radix DFT at f32 tolerance."""
-    from sondetpu.pallas.pfb import pfb_dft_perm, dft_weights, dft_tile
+    """pfb_dft_perm (interpret) emits channel-major [N, m] planes with
+    channel k at row dft_perm(n, gr)[k]; de-permuted they must equal the
+    XLA mixed-radix DFT at f32 tolerance, both via the perm row indices
+    and via the leading-axes-transpose identity _impl uses."""
+    from sondetpu.pallas.pfb import (pfb_dft_perm, dft_weights, dft_tile,
+                                     dft_perm)
 
     m = 64
     t = dft_tile(m, n, 4)
@@ -115,12 +118,18 @@ def test_dft_kernel_matches_xla_interpret(n):
     yi_p, yq_p = pfb_dft_perm(jnp.asarray(u_i), jnp.asarray(u_q),
                               jnp.asarray(wc), jnp.asarray(ws), gr, tm,
                               interpret=True)
-    yi = np.asarray(yi_p).reshape(m, gr, lsz).transpose(2, 1, 0).reshape(n, m)
-    yq = np.asarray(yq_p).reshape(m, gr, lsz).transpose(2, 1, 0).reshape(n, m)
+    assert yi_p.shape == (n, m)
+    perm = dft_perm(n, gr)
+    yi = np.asarray(yi_p)[perm]
+    yq = np.asarray(yq_p)[perm]
     ref_i, ref_q = _dft_axis_last(jnp.asarray(u_i), jnp.asarray(u_q), -1.0)
     scale = np.max(np.abs(np.asarray(ref_i)))
     np.testing.assert_allclose(yi, np.asarray(ref_i).T, atol=2e-3 * scale)
     np.testing.assert_allclose(yq, np.asarray(ref_q).T, atol=2e-3 * scale)
+    # the transpose identity: reshape(gr, L, m) -> (1, 0, 2) == row-take
+    alt = (np.asarray(yi_p).reshape(gr, lsz, m)
+           .transpose(1, 0, 2).reshape(n, m))
+    np.testing.assert_array_equal(alt, yi)
 
 
 def test_dft_tile_budget_and_gating():
