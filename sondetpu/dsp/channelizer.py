@@ -253,9 +253,25 @@ class PFBChannelizer:
         w = x_i.shape[-1]
         m_out = w // n
 
-        xp_i = jnp.concatenate([state.tail_i, x_i])     # [L + W]
-        xp_q = jnp.concatenate([state.tail_q, x_q])
         cdt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
+        if tile is not None and w >= L:
+            # streaming kernel: the raw planes and carry tail enter as
+            # separate refs and the cdt cast happens on the VMEM read —
+            # no concat pass, no cast pass (together ~13 ms of the
+            # 2048-bin fleet PFB); the new tail slices the raw block
+            from sondetpu.pallas.pfb import pfb_fir_stream
+            u_i, u_q = pfb_fir_stream(
+                x_i.reshape(m_out, n), x_q.reshape(m_out, n),
+                jnp.asarray(state.tail_i).reshape(tpp, n),
+                jnp.asarray(state.tail_q).reshape(tpp, n),
+                jnp.asarray(self._hcol, cdt), tpp, tile[0], tile[1],
+                cdt=cdt)
+            new_state = ChannelizerState(tail_i=x_i[-L:], tail_q=x_q[-L:])
+            return self._dft_stage(u_i, u_q, m_out, cdt, dft, permuted,
+                                   new_state)
+
+        xp_i = jnp.concatenate([jnp.asarray(state.tail_i), x_i])  # [L + W]
+        xp_q = jnp.concatenate([jnp.asarray(state.tail_q), x_q])
         vv_i = xp_i.reshape(-1, n).astype(cdt)          # [tpp + m_out, N]
         vv_q = xp_q.reshape(-1, n).astype(cdt)
 
@@ -286,22 +302,24 @@ class PFBChannelizer:
             # 29 -> 212 ms full-PFB at N=1024, W=49M in the r4 experiments)
             u_i, u_q = jax.lax.optimization_barrier((u_i, u_q))
 
-        # DFT across branches; sign=-1 + the column permutation == the +j
-        # convention. On TPU the Pallas kernel (pallas/pfb.py:pfb_dft_perm)
-        # emits channel-PERMUTED columns; the row-take below rides the
-        # transpose copy the XLA path pays anyway, so de-permutation is
-        # free (measured: the materialized [N, m] transpose is ~1.4 ms at
-        # [192000, 2048] bf16 while the XLA mixed-radix DFT alone is 36 ms)
+        new_state = ChannelizerState(tail_i=xp_i[-L:], tail_q=xp_q[-L:])
+        return self._dft_stage(u_i, u_q, m_out, cdt, dft, permuted,
+                               new_state)
+
+    def _dft_stage(self, u_i, u_q, m_out, cdt, dft, permuted, new_state):
+        """DFT across branches; sign=-1 + the column permutation == the +j
+        convention. On TPU the Pallas kernel (pallas/pfb.py:pfb_dft_perm)
+        writes channel-major [N, m] planes directly (the in-tile
+        transposes are free on v5e) with channel k at ROW
+        (k % gr)*L + k//gr; permuted=True hands that straight to callers
+        that bake the permutation into their row gathers (runtime/fleet.py
+        fused step — zero relayout cost)."""
+        n = self.n
         if dft is not None:
             from sondetpu.pallas.pfb import pfb_dft_perm
             gr, tm = dft
             lsz = n // gr
             wc, ws = _dft_weight_planes(self.n, gr)
-            # the kernel writes channel-major [N, m] directly (the in-tile
-            # transposes are free on v5e) with channel k at ROW
-            # (k % gr)*L + k//gr; permuted=True hands that straight to
-            # callers that bake the permutation into their row gathers
-            # (runtime/fleet.py's fused step — zero relayout cost)
             y_i, y_q = pfb_dft_perm(u_i, u_q, jnp.asarray(wc, cdt),
                                     jnp.asarray(ws, cdt), gr, tm)
             if not permuted:
@@ -313,7 +331,6 @@ class PFBChannelizer:
         else:
             y_i, y_q = _dft_axis_last(u_i, u_q, sign=-1.0)
             y_i, y_q = y_i.T, y_q.T
-        new_state = ChannelizerState(tail_i=xp_i[-L:], tail_q=xp_q[-L:])
         return new_state, y_i, y_q
 
 

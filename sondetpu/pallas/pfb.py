@@ -111,6 +111,89 @@ def pfb_fir_timemajor(vv_i: jax.Array, vv_q: jax.Array, hcol: jax.Array,
     )(hcol, vv_i, vv_i, vv_q, vv_q)
 
 
+def _kernel_stream(h_ref, ti_ref, tq_ref, pim_ref, xim_ref, pqm_ref,
+                   xqm_ref, ui_ref, uq_ref, *, tm: int, tpp: int, cdt):
+    """Streaming twin of :func:`_kernel`: the block's raw planes and the
+    carry tail enter as SEPARATE refs (no host-side concat pass) and the
+    compute-dtype cast happens on the VMEM read (no host-side cast pass) —
+    together those two elementwise passes measured ~13 ms of the 2048-bin
+    fleet PFB. Window rows [o, o+TM) of the virtual vv = concat(tail, x)
+    split as prev[o:tpp] ++ main[:TM-(tpp-o)]; prev is the previous x
+    row-block except at i == 0 where it is the carry tail (the clamped
+    prev block loads valid-but-unused rows there)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def plane(xm_ref, pm_ref, tail_ref):
+        main = xm_ref[:].astype(cdt)
+        prev = jnp.where(i == 0, tail_ref[:].astype(cdt),
+                         pm_ref[:].astype(cdt))
+
+        def fir(shift):
+            acc = None
+            for t in range(tpp):
+                o = tpp - 1 - t + shift
+                if o == tpp:
+                    win = main
+                else:
+                    win = jnp.concatenate([prev[o:], main[:tm - (tpp - o)]],
+                                          axis=0)
+                s = win * h_ref[t][None, :].astype(cdt)
+                acc = s if acc is None else acc + s
+            return acc
+
+        return fir
+
+    fir_i = plane(xim_ref, pim_ref, ti_ref)
+    fir_q = plane(xqm_ref, pqm_ref, tq_ref)
+    acc_i = fir_i(0)
+    acc_q = fir_q(0)
+
+    @pl.when(j > 0)
+    def _():
+        ui_ref[:] = acc_i
+        uq_ref[:] = acc_q
+
+    @pl.when(j == 0)
+    def _():
+        # branch 0 (lane 0 of the first column tile) taps one row later
+        s_i = fir_i(1)
+        s_q = fir_q(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc_i.shape, 1)
+        ui_ref[:] = jnp.where(lane == 0, s_i, acc_i)
+        uq_ref[:] = jnp.where(lane == 0, s_q, acc_q)
+
+
+@functools.partial(jax.jit, static_argnames=("tpp", "tm", "tn", "cdt",
+                                             "interpret"))
+def pfb_fir_stream(x_i: jax.Array, x_q: jax.Array, tail_i: jax.Array,
+                   tail_q: jax.Array, hcol: jax.Array, tpp: int, tm: int,
+                   tn: int, cdt=jnp.float32, interpret: bool = False):
+    """Raw block planes [m_out, N] (any dtype; cast to ``cdt`` in VMEM) +
+    carry tail [tpp, N] + column taps [tpp, N] -> (u_i, u_q) [m_out, N] in
+    ``cdt``, branch-permuted time-major. Numerically identical to
+    pfb_fir_timemajor over concat(tail, x) pre-cast to ``cdt``."""
+    m_out, n = x_i.shape
+    grid = (m_out // tm, n // tn)
+    main_spec = pl.BlockSpec((tm, tn), lambda i, j: (i, j))
+    # prev strip: x rows [i*TM - tpp, i*TM) in units of its own tpp-row
+    # block shape; clamped at the first tile where the tail ref takes over
+    prev_spec = pl.BlockSpec(
+        (tpp, tn), lambda i, j: (jnp.maximum(i * (tm // tpp) - 1, 0), j))
+    tail_spec = pl.BlockSpec((tpp, tn), lambda i, j: (0, j))
+    taps_spec = pl.BlockSpec((tpp, tn), lambda i, j: (0, j))
+    out_spec = pl.BlockSpec((tm, tn), lambda i, j: (i, j))
+    return pl.pallas_call(
+        functools.partial(_kernel_stream, tm=tm, tpp=tpp, cdt=cdt),
+        grid=grid,
+        in_specs=[taps_spec, tail_spec, tail_spec, prev_spec, main_spec,
+                  prev_spec, main_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m_out, n), cdt)] * 2,
+        interpret=interpret,
+    )(hcol, tail_i, tail_q, x_i, x_i, x_q, x_q)
+
+
 # ---------------------------------------------------------------------------
 # DFT-across-branches kernel (the PFB's second stage), lane-aligned and
 # channel-permuted.

@@ -392,14 +392,16 @@ def test_fused_step_selects_pallas_tile_on_tpu(monkeypatch):
     from sondetpu.dsp.channelizer import PFBChannelizer
 
     calls = []
-    real = pfb_mod.pfb_fir_timemajor
+    real = pfb_mod.pfb_fir_stream
 
-    def spy(vv_i, vv_q, hcol, tpp, tm, tn, interpret=False):
+    def spy(x_i, x_q, tail_i, tail_q, hcol, tpp, tm, tn, cdt=None,
+            interpret=False):
         calls.append((tm, tn))
         # interpret mode so the kernel traces+runs without a real TPU
-        return real(vv_i, vv_q, hcol, tpp, tm, tn, interpret=True)
+        return real(x_i, x_q, tail_i, tail_q, hcol, tpp, tm, tn, cdt=cdt,
+                    interpret=True)
 
-    monkeypatch.setattr(pfb_mod, "pfb_fir_timemajor", spy)
+    monkeypatch.setattr(pfb_mod, "pfb_fir_stream", spy)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     # tileable shape: n_bins=128 (lanes), 320 samples/channel (divides the
